@@ -1,0 +1,210 @@
+"""SO(2) equivariant graph attention, feed-forward and transformer blocks.
+
+Re-design of the reference's SO2EquivariantGraphAttention / FeedForwardNetwork /
+TransBlockV2 / EdgeDegreeEmbedding (/root/reference/model/EF_layers.py:23-149,
+152-270, 878-1204, 1207-1410) on flat padded edge lists. Heterogeneous
+(ligand<->protein) edges use the same modules with distinct source/target
+feature arrays; unlike the reference, data flow is purely functional (the
+reference mutates its input dict in place across blocks, EF_layers.py:1352-1366
+— a quirk we deliberately do not replicate).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singa_tpu.equivariant import so3
+from singa_tpu.equivariant.layers import (
+    Linear,
+    RadialMLP,
+    SO2Conv,
+    SO3Linear,
+    get_norm_layer,
+    separable_s2_activation,
+    smooth_leaky_relu,
+)
+from singa_tpu.ops.knn import EdgeList
+from singa_tpu.ops.segment import segment_softmax, segment_sum
+
+
+class EdgeDegreeEmbedding(nn.Module):
+    """Invariant edge scalars -> m=0 edge-frame features -> rotate back ->
+    degree-rescaled sum at the target node (EF_layers.py:86-149)."""
+
+    sphere_channels: int
+    lmax: int
+    mmax: int
+    edge_channels: Sequence[int]  # radial hidden dims
+    rescale_factor: float
+
+    @nn.compact
+    def __call__(
+        self,
+        x_edge: jax.Array,  # [E, De]
+        edges: EdgeList,
+        wigner: list[jax.Array],
+        num_dst: int,
+    ) -> jax.Array:
+        mapping = so3.CoefficientMapping(self.lmax, self.mmax)
+        n0 = mapping.m_size[0]
+        rad = RadialMLP(tuple(self.edge_channels) + (n0 * self.sphere_channels,))(
+            x_edge
+        )
+        rad = rad.reshape(-1, n0, self.sphere_channels)
+        # place radial outputs on the m=0 coefficients of the truncated layout
+        x = jnp.zeros(
+            (x_edge.shape[0], mapping.n_trunc, self.sphere_channels), rad.dtype
+        )
+        x = x.at[:, mapping.m0_trunc, :].set(rad)
+        x = so3.rotate_inv(wigner, x, self.lmax, self.mmax)
+        out = segment_sum(x, edges.dst, num_dst, mask=edges.mask)
+        return out / self.rescale_factor
+
+
+class FeedForwardNetwork(nn.Module):
+    """SO3 linear -> separable S2 activation -> SO3 linear
+    (EF_layers.py:152-270 with the config's use_sep_s2_act=True path)."""
+
+    hidden_channels: int
+    output_channels: int
+    lmax: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gating = Linear(self.hidden_channels)(x[:, 0, :])
+        h = SO3Linear(self.hidden_channels, lmax=self.lmax)(x)
+        h = separable_s2_activation(gating, h, self.lmax, self.lmax)
+        return SO3Linear(self.output_channels, lmax=self.lmax)(h)
+
+
+class GraphAttention(nn.Module):
+    """SO2EquivariantGraphAttention (EF_layers.py:878-1204), config path:
+    use_s2_act_attn=False, use_attn_renorm=True, use_gate_act=False,
+    use_sep_s2_act=True, use_m_share_rad=False."""
+
+    sphere_channels: int
+    hidden_channels: int
+    num_heads: int
+    attn_alpha_channels: int
+    attn_value_channels: int
+    output_channels: int
+    lmax: int
+    mmax: int
+    edge_channels: Sequence[int]
+
+    @nn.compact
+    def __call__(
+        self,
+        x_src: jax.Array,  # [N_src, coeffs, C]
+        x_dst: jax.Array,  # [N_dst, coeffs, C]
+        x_edge: jax.Array,  # [E, De]
+        edges: EdgeList,
+        wigner: list[jax.Array],
+        num_dst: int,
+    ) -> jax.Array:
+        xs = x_src[edges.src]
+        xt = x_dst[edges.dst]
+        msg = jnp.concatenate([xs, xt], axis=-1)  # [E, coeffs, 2C]
+        msg = so3.rotate(wigner, msg, self.lmax, self.mmax)
+
+        extra = self.num_heads * self.attn_alpha_channels + self.hidden_channels
+        msg, x0_extra = SO2Conv(
+            features=self.hidden_channels,
+            lmax=self.lmax,
+            mmax=self.mmax,
+            edge_channels=self.edge_channels,
+            extra_m0_features=extra,
+            name="so2_conv_1",
+        )(msg, x_edge)
+
+        alpha_ch = self.num_heads * self.attn_alpha_channels
+        x_alpha = x0_extra[:, :alpha_ch]
+        gating = x0_extra[:, alpha_ch:]
+        msg = separable_s2_activation(gating, msg, self.lmax, self.mmax)
+
+        msg = SO2Conv(
+            features=self.num_heads * self.attn_value_channels,
+            lmax=self.lmax,
+            mmax=self.mmax,
+            name="so2_conv_2",
+        )(msg)
+
+        # attention logits from the invariant m=0 channel
+        x_alpha = x_alpha.reshape(-1, self.num_heads, self.attn_alpha_channels)
+        x_alpha = nn.LayerNorm(name="alpha_norm")(x_alpha)
+        x_alpha = smooth_leaky_relu(x_alpha)
+        bound = 1.0 / np.sqrt(self.attn_alpha_channels)
+        alpha_dot = self.param(
+            "alpha_dot",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.num_heads, self.attn_alpha_channels),
+        )
+        alpha = jnp.einsum("ehk,hk->eh", x_alpha, alpha_dot.astype(x_alpha.dtype))
+        alpha = segment_softmax(alpha, edges.dst, num_dst, mask=edges.mask)
+
+        E, n_trunc, _ = msg.shape
+        msg = msg.reshape(E, n_trunc, self.num_heads, self.attn_value_channels)
+        msg = msg * alpha[:, None, :, None]
+        msg = msg.reshape(E, n_trunc, self.num_heads * self.attn_value_channels)
+
+        msg = so3.rotate_inv(wigner, msg, self.lmax, self.mmax)
+        out = segment_sum(msg, edges.dst, num_dst, mask=edges.mask)
+        return SO3Linear(self.output_channels, lmax=self.lmax, name="proj")(out)
+
+
+class TransBlock(nn.Module):
+    """Pre-norm attention + FFN residual block (TransBlockV2,
+    EF_layers.py:1207-1410). One instance is shared across all four passes of
+    the embedding, as in the reference (Embedding.py:159-196)."""
+
+    sphere_channels: int
+    attn_hidden_channels: int
+    attn_alpha_channels: int
+    attn_value_channels: int
+    ffn_hidden_channels: int
+    num_heads: int
+    lmax: int
+    mmax: int
+    edge_channels: Sequence[int]
+    norm_type: str = "rms_norm_sh"
+
+    @nn.compact
+    def __call__(
+        self,
+        x_src: jax.Array,
+        x_dst: jax.Array,
+        x_edge: jax.Array,
+        edges: EdgeList,
+        wigner: list[jax.Array],
+        num_dst: int,
+    ) -> jax.Array:
+        norm_1 = get_norm_layer(self.norm_type, self.lmax)
+        xs = norm_1(x_src)
+        xt = norm_1(x_dst) if x_dst is not x_src else xs
+        attn = GraphAttention(
+            sphere_channels=self.sphere_channels,
+            hidden_channels=self.attn_hidden_channels,
+            num_heads=self.num_heads,
+            attn_alpha_channels=self.attn_alpha_channels,
+            attn_value_channels=self.attn_value_channels,
+            output_channels=self.sphere_channels,
+            lmax=self.lmax,
+            mmax=self.mmax,
+            edge_channels=self.edge_channels,
+            name="ga",
+        )(xs, xt, x_edge, edges, wigner, num_dst)
+        x = x_dst + attn
+
+        res = x
+        x = get_norm_layer(self.norm_type, self.lmax)(x)
+        x = FeedForwardNetwork(
+            hidden_channels=self.ffn_hidden_channels,
+            output_channels=self.sphere_channels,
+            lmax=self.lmax,
+            name="ffn",
+        )(x)
+        return x + res

@@ -1,0 +1,311 @@
+"""Equivariant building blocks: SO3 linear, SO2 convolutions, S2/gate
+activations, equivariant norms, radial MLPs.
+
+TPU-native re-design of the reference layer library
+(/root/reference/model/EF_layers.py). Features are plain arrays
+``[N, coeffs, C]``; all coefficient bookkeeping comes from
+singa_tpu/equivariant/so3.py as static indices. Initialisers follow torch
+defaults (uniform +-1/sqrt(fan_in) for linears, N(0,1) for embeddings) so the
+training dynamics land in the same regime as the reference.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singa_tpu.equivariant.grid import get_grid
+from singa_tpu.equivariant.so3 import CoefficientMapping
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    # flax Dense kernel shape is [fan_in, fan_out]
+    fan_in = shape[0]
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Linear(nn.Module):
+    """nn.Dense with torch-default initialisation."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(fan_in),
+        )(x)
+
+
+class Embed(nn.Module):
+    """nn.Embed with torch-default N(0,1) initialisation."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, idx):
+        return nn.Embed(
+            self.num_embeddings,
+            self.features,
+            embedding_init=nn.initializers.normal(stddev=1.0),
+        )(idx)
+
+
+def smooth_leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    """Reference EF_layers.py:1669-1677."""
+    a = negative_slope
+    return ((1 + a) / 2.0) * x + ((1 - a) / 2.0) * x * (2.0 * jax.nn.sigmoid(x) - 1.0)
+
+
+class RadialMLP(nn.Module):
+    """Linear -> LayerNorm -> SiLU stack; last layer plain Linear.
+
+    Reference RadialFunction (EF_layers.py:1634-1657).
+    """
+
+    channels: Sequence[int]  # hidden + output sizes (input inferred)
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.channels)
+        for i, ch in enumerate(self.channels):
+            x = Linear(ch)(x)
+            if i < n - 1:
+                x = nn.LayerNorm()(x)
+                x = jax.nn.silu(x)
+        return x
+
+
+class SO3Linear(nn.Module):
+    """Per-degree linear map with bias on the l=0 scalars.
+
+    Reference SO3_LinearV2 (EF_layers.py:624-671): weight ``[lmax+1, out, in]``
+    expanded over m via gather; implemented as a single einsum with a static
+    per-coefficient degree index.
+    """
+
+    features: int
+    lmax: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1]
+        bound = 1.0 / np.sqrt(c_in)
+        weight = self.param(
+            "weight",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.lmax + 1, self.features, c_in),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        l_of = CoefficientMapping(self.lmax, self.lmax).l_of_full
+        w = jnp.take(weight.astype(x.dtype), l_of, axis=0)  # [coeffs, out, in]
+        out = jnp.einsum("nic,ioc->nio", x, w)
+        out = out.at[:, 0, :].add(bias.astype(x.dtype))
+        return out
+
+
+class EquivariantRMSNorm(nn.Module):
+    """'rms_norm_sh' — EquivariantRMSNormArraySphericalHarmonicsV2
+    (EF_layers.py:2099-2192): centred l=0, degree-balanced component RMS,
+    per-degree affine weight, l=0 bias.
+    """
+
+    lmax: int
+    eps: float = 1e-5
+    centering: bool = True
+    std_balance_degrees: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (self.lmax + 1, C))
+        bias = self.param("bias", nn.initializers.zeros, (C,)) if self.centering else None
+
+        if self.centering:
+            l0 = x[:, :1, :]
+            l0 = l0 - jnp.mean(l0, axis=-1, keepdims=True)
+            x = jnp.concatenate([l0, x[:, 1:, :]], axis=1)
+
+        mapping = CoefficientMapping(self.lmax, self.lmax)
+        if self.std_balance_degrees:
+            bal = 1.0 / ((2.0 * mapping.l_of_full + 1.0) * (self.lmax + 1))
+            norm = jnp.einsum(
+                "nic,i->nc", x * x, jnp.asarray(bal, x.dtype)
+            )  # [N, C]
+            norm = norm[:, None, :]
+        else:
+            norm = jnp.mean(x * x, axis=1, keepdims=True)
+        norm = jnp.mean(norm, axis=-1, keepdims=True)  # [N, 1, 1]
+        inv = jax.lax.rsqrt(norm + self.eps)
+
+        w = jnp.take(weight.astype(x.dtype), mapping.l_of_full, axis=0)  # [coeffs, C]
+        out = x * inv * w[None]
+        if self.centering:
+            out = out.at[:, 0, :].add(bias.astype(x.dtype))
+        return out
+
+
+class EquivariantLayerNorm(nn.Module):
+    """'layer_norm' — EquivariantLayerNormArray (EF_layers.py:1861-1932):
+    per-degree norm, scalars centred across channels."""
+
+    lmax: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (self.lmax + 1, C))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        outs = []
+        for l in range(self.lmax + 1):
+            s = l * l
+            feat = jax.lax.slice_in_dim(x, s, s + 2 * l + 1, axis=1)
+            if l == 0:
+                feat = feat - jnp.mean(feat, axis=2, keepdims=True)
+            norm = jnp.mean(feat * feat, axis=1, keepdims=True)
+            norm = jnp.mean(norm, axis=2, keepdims=True)
+            inv = (norm + self.eps) ** -0.5 * weight[l].astype(x.dtype)
+            feat = feat * inv
+            if l == 0:
+                feat = feat + bias.astype(x.dtype)
+            outs.append(feat)
+        return jnp.concatenate(outs, axis=1)
+
+
+def get_norm_layer(norm_type: str, lmax: int) -> nn.Module:
+    if norm_type == "rms_norm_sh":
+        return EquivariantRMSNorm(lmax=lmax)
+    if norm_type == "layer_norm":
+        return EquivariantLayerNorm(lmax=lmax)
+    raise ValueError(norm_type)
+
+
+def gate_activation(
+    gating_scalars: jax.Array, x: jax.Array, lmax: int, mmax: int
+) -> jax.Array:
+    """Reference GateActivation (EF_layers.py:1683-1733). Parameter-free."""
+    C = x.shape[-1]
+    gates = jax.nn.sigmoid(gating_scalars).reshape(x.shape[0], lmax, C)
+    expand = []
+    for l in range(1, lmax + 1):
+        n_m = min(2 * l + 1, 2 * mmax + 1)
+        expand.extend([l - 1] * n_m)
+    gates = jnp.take(gates, np.asarray(expand, np.int32), axis=1)
+    scalars = jax.nn.silu(x[:, :1, :])
+    vectors = x[:, 1:, :] * gates
+    return jnp.concatenate([scalars, vectors], axis=1)
+
+
+def s2_activation(x: jax.Array, lmax: int, mmax: int) -> jax.Array:
+    """Pointwise SiLU on the sphere grid (EF_layers.py:1736-1754)."""
+    grid = get_grid(lmax, mmax)
+    return grid.from_grid(jax.nn.silu(grid.to_grid(x)))
+
+
+def separable_s2_activation(
+    scalars: jax.Array, x: jax.Array, lmax: int, mmax: int
+) -> jax.Array:
+    """SiLU on explicit scalars + S2 SiLU on the tensor part, recombined
+    (EF_layers.py:1757-1773)."""
+    out_scalars = jax.nn.silu(scalars)[:, None, :]
+    out_tensors = s2_activation(x, lmax, mmax)
+    return jnp.concatenate([out_scalars, out_tensors[:, 1:, :]], axis=1)
+
+
+class SO2Conv(nn.Module):
+    """SO(2) convolution over all orders m in the edge frame.
+
+    Reference SO2_Convolution (EF_layers.py:732-875). Input/output are
+    *truncated l-primary* arrays ``[E, n_trunc, C]``; the m-primary view is a
+    static gather. ``edge_channels`` configures an internal RadialMLP whose
+    output elementwise-modulates the inputs (internal_weights=False mode);
+    ``extra_m0_features`` returns additional invariant channels from the m=0
+    branch.
+    """
+
+    features: int
+    lmax: int
+    mmax: int
+    edge_channels: Optional[Sequence[int]] = None  # radial MLP hidden dims
+    extra_m0_features: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x_edge: Optional[jax.Array] = None):
+        mapping = CoefficientMapping(self.lmax, self.mmax)
+        E = x.shape[0]
+        c_in = x.shape[-1]
+        xm = mapping.to_m_primary(x)
+
+        m_sizes = mapping.m_size
+        rad = None
+        if self.edge_channels is not None:
+            total_rad = m_sizes[0] * c_in + sum(
+                2 * s * c_in for s in m_sizes[1:]
+            )
+            rad = RadialMLP(tuple(self.edge_channels) + (total_rad,))(x_edge)
+
+        outs = []
+        extra = None
+        # m = 0 block: real only
+        n0 = m_sizes[0]
+        x0 = xm[:, :n0, :].reshape(E, n0 * c_in)
+        off_rad = n0 * c_in
+        if rad is not None:
+            x0 = x0 * rad[:, : n0 * c_in]
+        out0_feats = n0 * self.features + (self.extra_m0_features or 0)
+        x0 = Linear(out0_feats)(x0)
+        if self.extra_m0_features:
+            extra = x0[:, : self.extra_m0_features]
+            x0 = x0[:, self.extra_m0_features :]
+        outs.append(x0.reshape(E, n0, self.features))
+
+        # m > 0 blocks: complex-structured pair convolution
+        offset = n0
+        for m in range(1, self.mmax + 1):
+            sz = m_sizes[m]
+            x_m = xm[:, offset : offset + 2 * sz, :].reshape(E, 2, sz * c_in)
+            if rad is not None:
+                x_m = x_m * rad[:, None, off_rad : off_rad + sz * c_in]
+            half = sz * self.features
+            fc = nn.Dense(
+                2 * half,
+                use_bias=False,
+                kernel_init=lambda k, s, d=jnp.float32: torch_linear_kernel_init(
+                    k, s, d
+                )
+                / np.sqrt(2.0),
+                name=f"fc_m{m}",
+            )
+            y = fc(x_m)  # [E, 2, 2*half]
+            y_r, y_i = y[..., :half], y[..., half:]
+            out_r = y_r[:, 0] - y_i[:, 1]
+            out_i = y_r[:, 1] + y_i[:, 0]
+            y = jnp.stack([out_r, out_i], axis=1).reshape(E, 2 * sz, self.features)
+            outs.append(y)
+            offset += 2 * sz
+            off_rad += sz * c_in
+
+        out = jnp.concatenate(outs, axis=1)
+        out = mapping.to_l_primary(out)
+        if self.extra_m0_features:
+            return out, extra
+        return out

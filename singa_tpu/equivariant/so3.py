@@ -1,0 +1,169 @@
+"""SO(3) feature layout, coefficient bookkeeping and rotations.
+
+An equivariant feature is a plain array ``[N, num_coeffs(lmax), C]`` in
+*l-primary* order (block ``l`` occupies ``l^2 .. l^2+2l``, within-block order
+``m = -l..l``). This replaces the reference's SO3_Embedding class and its
+permutation-matrix ``to_m`` einsums (/root/reference/model/EF_layers.py:273-469,
+1413-1552) with static gather indices.
+
+Truncated layouts (edge frame, ``|m| <= mmax``) drop the high-m columns of
+every block; ``CoefficientMapping`` precomputes all index arrays at trace time
+as numpy constants.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singa_tpu.equivariant.wigner import edge_rotation, wigner_blocks
+
+
+def num_coeffs(lmax: int) -> int:
+    return (lmax + 1) ** 2
+
+
+def num_coeffs_trunc(lmax: int, mmax: int) -> int:
+    return sum(2 * min(l, mmax) + 1 for l in range(lmax + 1))
+
+
+@functools.lru_cache(maxsize=None)
+class CoefficientMapping:
+    """Static index bookkeeping for one (lmax, mmax) resolution.
+
+    Layouts:
+      * full l-primary: ``(lmax+1)^2`` coeffs, per-l blocks of ``m=-l..l``.
+      * truncated l-primary: per-l blocks of ``m=-mm..mm`` with
+        ``mm = min(l, mmax)``; the rotated edge-frame layout.
+      * m-primary (on truncated): ``m=0`` coeffs for all l, then for each
+        ``m=1..mmax`` the cos (+m) coeffs for ``l=m..lmax`` followed by the
+        sin (-m) coeffs — exactly the blocking the SO(2) convolutions need
+        (cf. reference EF_layers.py:807-875).
+    """
+
+    def __init__(self, lmax: int, mmax: int):
+        self.lmax = lmax
+        self.mmax = mmax
+        self.n_full = num_coeffs(lmax)
+        self.n_trunc = num_coeffs_trunc(lmax, mmax)
+
+        # offsets of each l block in the truncated l-primary layout
+        self.trunc_offset = []
+        off = 0
+        for l in range(lmax + 1):
+            self.trunc_offset.append(off)
+            off += 2 * min(l, mmax) + 1
+
+        def t_idx(l: int, m: int) -> int:
+            mm = min(l, mmax)
+            assert -mm <= m <= mm
+            return self.trunc_offset[l] + (m + mm)
+
+        # m-primary permutation over the truncated layout
+        perm = []
+        self.m_size = []
+        for l in range(lmax + 1):
+            perm.append(t_idx(l, 0))
+        self.m_size.append(lmax + 1)
+        for m in range(1, mmax + 1):
+            ls = list(range(m, lmax + 1))
+            self.m_size.append(len(ls))
+            for l in ls:  # cos (+m) part
+                perm.append(t_idx(l, m))
+            for l in ls:  # sin (-m) part
+                perm.append(t_idx(l, -m))
+        self.l_to_m = np.asarray(perm, dtype=np.int32)
+        inv = np.zeros_like(self.l_to_m)
+        inv[self.l_to_m] = np.arange(self.n_trunc, dtype=np.int32)
+        self.m_to_l = inv
+
+        # m=0 coefficient positions in the truncated l-primary layout
+        self.m0_trunc = np.asarray(
+            [t_idx(l, 0) for l in range(lmax + 1)], dtype=np.int32
+        )
+        # degree of every coefficient (full / truncated layouts)
+        self.l_of_full = np.asarray(
+            [l for l in range(lmax + 1) for _ in range(2 * l + 1)], dtype=np.int32
+        )
+        self.l_of_trunc = np.asarray(
+            [l for l in range(lmax + 1) for _ in range(2 * min(l, mmax) + 1)],
+            dtype=np.int32,
+        )
+        # rescale applied when rotating back with truncated m (reference
+        # EF_layers.py:1530-1549): sqrt((2l+1)/(2mmax+1)) for l > mmax.
+        scale = np.ones(lmax + 1)
+        for l in range(lmax + 1):
+            if l > mmax:
+                scale[l] = np.sqrt((2 * l + 1) / (2 * mmax + 1))
+        self.rotate_inv_rescale = scale[self.l_of_full].astype(np.float32)
+
+    def to_m_primary(self, x: jax.Array) -> jax.Array:
+        """[N, n_trunc, C] l-primary -> m-primary."""
+        return jnp.take(x, self.l_to_m, axis=-2)
+
+    def to_l_primary(self, x: jax.Array) -> jax.Array:
+        """[N, n_trunc, C] m-primary -> l-primary."""
+        return jnp.take(x, self.m_to_l, axis=-2)
+
+
+def edge_wigner(edge_vec: jax.Array, lmax: int, mmax: int, dtype=jnp.float32):
+    """Truncated Wigner blocks for the edge-aligned frames of ``edge_vec [E,3]``."""
+    rot = edge_rotation(edge_vec.astype(dtype))
+    return wigner_blocks(rot, lmax, mmax, dtype=dtype)
+
+
+def rotate(blocks: list[jax.Array], x: jax.Array, lmax: int, mmax: int) -> jax.Array:
+    """Rotate full l-primary features into the (truncated) edge frame.
+
+    x: ``[E, (lmax+1)^2, C]`` -> ``[E, n_trunc, C]``.
+    """
+    outs = []
+    for l in range(lmax + 1):
+        s = l * l
+        xl = jax.lax.slice_in_dim(x, s, s + 2 * l + 1, axis=-2)
+        outs.append(jnp.einsum("ekn,enc->ekc", blocks[l], xl))
+    return jnp.concatenate(outs, axis=-2)
+
+
+def rotate_inv(
+    blocks: list[jax.Array],
+    x: jax.Array,
+    lmax: int,
+    mmax: int,
+    rescale: bool = True,
+) -> jax.Array:
+    """Rotate truncated edge-frame features back: ``[E, n_trunc, C] -> [E, full, C]``.
+
+    Uses D^T (blocks are orthogonal) and applies the reference's m-truncation
+    rescale for l > mmax.
+    """
+    mapping = CoefficientMapping(lmax, mmax)
+    outs = []
+    off = 0
+    for l in range(lmax + 1):
+        mm = min(l, mmax)
+        xl = jax.lax.slice_in_dim(x, off, off + 2 * mm + 1, axis=-2)
+        out = jnp.einsum("ekn,ekc->enc", blocks[l], xl)
+        if rescale and l > mmax:
+            out = out * np.sqrt((2 * l + 1) / (2 * mmax + 1)).astype(np.float32)
+        outs.append(out)
+        off += 2 * mm + 1
+    return jnp.concatenate(outs, axis=-2)
+
+
+def node_wigner(pos_like_rot: jax.Array, lmax: int, mmax: int):
+    """Alias of wigner_blocks for explicit rotations (tests, augmentation)."""
+    return wigner_blocks(pos_like_rot, lmax, mmax)
+
+
+def rotate_full(rot: jax.Array, x: jax.Array, lmax: int) -> jax.Array:
+    """Apply an explicit global rotation to full l-primary features (test helper)."""
+    blocks = wigner_blocks(rot, lmax, lmax, dtype=x.dtype)
+    outs = []
+    for l in range(lmax + 1):
+        s = l * l
+        xl = jax.lax.slice_in_dim(x, s, s + 2 * l + 1, axis=-2)
+        outs.append(jnp.einsum("ekn,enc->ekc", blocks[l], xl))
+    return jnp.concatenate(outs, axis=-2)

@@ -1,0 +1,376 @@
+"""CProMG-style conditional transformer: graph-attention pocket encoders +
+property-prefixed autoregressive SMILES decoder.
+
+Re-design of /root/reference/model/CProMG.py on fixed-shape padded batches.
+The ragged-graph machinery (PyG knn_graph / to_undirected / get_laplacian /
+to_dense_batch, CProMG.py:293-298) becomes masked static-shape ops; dense
+attention runs in ``[B, T, C]`` layout straight on the MXU.
+
+Deliberate deviations from the reference, documented here:
+  * ``nn.Embedding(vocab, C, padding_idx=0)`` (CProMG.py:377) freezes the
+    embedding of token id 0 ('#'), which is *not* the pad token ('^') — an
+    apparent bug; we keep all embeddings trainable.
+  * The decoder exposes a KV-cache path for O(T) incremental generation; the
+    reference re-runs the full decoder per step (BeamSearch.py:81-83).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singa_tpu.config import DecoderConfig, EncoderConfig, ModelConfig
+from singa_tpu.equivariant.layers import Linear
+from singa_tpu.ops.knn import EdgeList, knn_graph
+from singa_tpu.ops.laplacian import laplacian_edges
+from singa_tpu.ops.segment import segment_mean, segment_softmax, segment_sum
+from singa_tpu.ops.smearing import gaussian_smearing
+
+
+def shifted_softplus(x: jax.Array) -> jax.Array:
+    return jax.nn.softplus(x) - math.log(2.0)
+
+
+class GroupedLinear(nn.Module):
+    """Per-head block-diagonal projection — the reference's grouped 1x1 conv
+    (CProMG.py:27-29)."""
+
+    features: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = x.shape[0]
+        h = self.num_heads
+        c_in = x.shape[-1] // h
+        c_out = self.features // h
+        bound = 1.0 / np.sqrt(c_in)
+        w = self.param(
+            "weight",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (h, c_in, c_out),
+        )
+        return jnp.einsum("nhc,hco->nho", x.reshape(n, h, c_in), w.astype(x.dtype))
+
+
+class EdgeMLP(nn.Module):
+    """edge_channels -> hidden -> hidden with ShiftedSoftplus (CProMG.py:31-43)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, e: jax.Array) -> jax.Array:
+        e = Linear(self.hidden)(e)
+        e = shifted_softplus(e)
+        return Linear(self.hidden)(e)
+
+
+class GraphMHA(nn.Module):
+    """Edge-conditioned multi-head graph attention (CProMG.py:19-78).
+
+    Operates on flat node features [M, C] with a static EdgeList; messages
+    aggregate to ``edges.src`` (the query node, 'target_to_source' flow).
+    """
+
+    hidden_channels: int
+    key_channels: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self,
+        node_attr: jax.Array,  # [M, C]
+        edges: EdgeList,
+        edge_attr: jax.Array,  # [E, De]
+        num_nodes: int,
+    ) -> jax.Array:
+        H = self.num_heads
+        kd = self.key_channels // H
+        vd = self.hidden_channels // H
+
+        h_k = GroupedLinear(self.key_channels, H, name="k_lin")(node_attr)
+        h_q = GroupedLinear(self.key_channels, H, name="q_lin")(node_attr)
+        h_v = GroupedLinear(self.hidden_channels, H, name="v_lin")(node_attr)
+
+        w_k = EdgeMLP(kd, name="weight_k_net")(edge_attr)  # [E, kd]
+        keys = Linear(kd, name="weight_k_lin")(w_k[:, None, :] * h_k[edges.dst])
+        queries = h_q[edges.src]
+        qk = jnp.sum(queries * keys, axis=-1) / np.sqrt(kd)  # [E, H]
+        alpha = segment_softmax(qk, edges.src, num_nodes, mask=edges.mask)
+
+        w_v = EdgeMLP(vd, name="weight_v_net")(edge_attr)
+        msg = Linear(vd, name="weight_v_lin")(w_v[:, None, :] * h_v[edges.dst])
+        msg = msg * alpha[..., None]
+        aggr = segment_sum(msg, edges.src, num_nodes, mask=edges.mask)
+        aggr = aggr.reshape(num_nodes, -1)
+
+        out = Linear(self.hidden_channels, name="centroid_lin")(node_attr) + aggr
+        out = Linear(self.hidden_channels, name="out_transform")(
+            shifted_softplus(out)
+        )
+        return nn.LayerNorm(name="layer_norm")(out)
+
+
+class DenseMHA(nn.Module):
+    """Standard dense attention with residual + post-LN (CProMG.py:81-158)."""
+
+    hidden_channels: int
+    key_channels: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jax.Array,  # [B, Tq, C]
+        kv: jax.Array,  # [B, Tk, C]
+        mask: jax.Array,  # [B, Tq, Tk] bool, True = blocked
+        cache: Optional[dict] = None,
+    ) -> jax.Array:
+        B, Tq, C = q.shape
+        H = self.num_heads
+        kd = self.key_channels // H
+        vd = self.hidden_channels // H
+        residual = q
+
+        qs = Linear(self.key_channels, name="W_Q")(q).reshape(B, Tq, H, kd)
+        ks = Linear(self.key_channels, name="W_K")(kv).reshape(B, -1, H, kd)
+        vs = Linear(self.hidden_channels, name="W_V")(kv).reshape(B, -1, H, vd)
+        if cache is not None:
+            ks = jnp.concatenate([cache["k"], ks], axis=1)
+            vs = jnp.concatenate([cache["v"], vs], axis=1)
+            cache["k"], cache["v"] = ks, vs
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qs, ks) / np.sqrt(kd)
+        scores = jnp.where(mask[:, None, :, :], -1e9, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vs).reshape(B, Tq, -1)
+        out = Linear(self.hidden_channels, name="linear")(ctx)
+        return nn.LayerNorm(name="layer_norm")(out + residual)
+
+
+class PositionwiseFFN(nn.Module):
+    """1x1-conv FFN with residual + post-LN (CProMG.py:161-191)."""
+
+    hidden_channels: int
+    ffn_hidden: int = 1024
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        residual = x
+        h = jax.nn.relu(Linear(self.ffn_hidden, name="conv1")(x))
+        h = Linear(self.hidden_channels, name="conv2")(h)
+        return nn.LayerNorm(name="layer_norm")(h + residual)
+
+
+def sinusoidal_pe(length: int, d_model: int, dtype=jnp.float32) -> jax.Array:
+    position = np.arange(length)[:, None].astype(np.float64)
+    div = np.exp(np.arange(0, d_model, 2) * (-math.log(10000.0) / d_model))
+    pe = np.zeros((length, d_model))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return jnp.asarray(pe, dtype)
+
+
+def _build_graph(pos, mask, k, smear_stop, edge_channels):
+    """kNN -> undirected mean-length -> Gaussian smear -> Laplacian transform
+    (CProMG.py:293-298). Returns (edges, edge_attr) over B*N global nodes."""
+    B, N, _ = pos.shape
+    edges = knn_graph(pos, mask, k, undirected=True)
+    flat = pos.reshape(-1, 3)
+    d = jnp.linalg.norm(flat[edges.src] - flat[edges.dst], axis=-1)
+    attr = gaussian_smearing(d, 0.0, smear_stop, edge_channels)
+    attr = jnp.where(edges.mask[:, None], attr, 0.0)
+    edges, attr = laplacian_edges(edges, attr, B * N)
+    # self-loops on padded nodes are already inert: their degree weight is 0.
+    return edges, attr
+
+
+class EncoderLayer(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, node_attr, edges, edge_attr, num_nodes):
+        msa = GraphMHA(
+            self.cfg.hidden_channels,
+            self.cfg.key_channels,
+            self.cfg.num_heads,
+            name="enc_self_attn",
+        )(node_attr, edges, edge_attr, num_nodes)
+        ffn = PositionwiseFFN(self.cfg.hidden_channels, self.cfg.ffn_hidden, name="pos_ffn")(msa)
+        return msa, ffn
+
+
+class Encoder(nn.Module):
+    """Pocket-atom encoder (CProMG.py:276-309)."""
+
+    cfg: EncoderConfig
+    feature_dim: int
+
+    @nn.compact
+    def __call__(self, feat, pos, mask, lap_pe):
+        B, N, _ = feat.shape
+        x = Linear(self.cfg.hidden_channels, name="protein_atom_emb")(feat)
+        x = x + Linear(self.cfg.hidden_channels, name="laplacian_emb")(lap_pe)
+        x = x.reshape(B * N, -1)
+        edges, edge_attr = _build_graph(
+            pos, mask, self.cfg.knn, self.cfg.smear_stop, self.cfg.edge_channels
+        )
+        msa_outputs = []
+        for i in range(self.cfg.num_interactions):
+            msa, x = EncoderLayer(self.cfg, name=f"layer_{i}")(x, edges, edge_attr, B * N)
+            msa_outputs.append(msa.reshape(B, N, -1))
+        out = x.reshape(B, N, -1) * mask[..., None]
+        pad_mask = ~mask[:, None, :]  # [B, 1, N], True = blocked
+        return out, pad_mask, msa_outputs
+
+
+class EncoderLayer2(nn.Module):
+    cfg: EncoderConfig
+    cross_here: bool
+
+    @nn.compact
+    def __call__(self, node_attr, edges, edge_attr, num_nodes, B, N, atom_msa, atom_pad_mask, mask):
+        msa = GraphMHA(
+            self.cfg.hidden_channels,
+            self.cfg.key_channels,
+            self.cfg.num_heads,
+            name="enc_self_attn",
+        )(node_attr, edges, edge_attr, num_nodes)
+        if self.cross_here:
+            proj = Linear(self.cfg.hidden_channels, name="proj")(atom_msa)
+            q = msa.reshape(B, N, -1)
+            cross_mask = jnp.broadcast_to(atom_pad_mask, (B, N, atom_pad_mask.shape[-1]))
+            cross = DenseMHA(
+                self.cfg.hidden_channels,
+                self.cfg.key_channels,
+                self.cfg.num_heads,
+                name="cross_attn",
+            )(q, proj, cross_mask)
+            cross = (cross * mask[..., None]).reshape(B * N, -1)
+            msa = nn.LayerNorm(name="layer_norm")(msa + cross)
+        return PositionwiseFFN(self.cfg.hidden_channels, self.cfg.ffn_hidden, name="pos_ffn")(msa)
+
+
+class Encoder2(nn.Module):
+    """Second encoder with cross-attention into encoder-1 MSA outputs at
+    layers 2 and 5 (CProMG.py:313-343; during training it consumes the
+    *ligand* equivariant features, GAN.py:74-77)."""
+
+    cfg: EncoderConfig
+    feature_dim: int
+
+    @nn.compact
+    def __call__(self, feat, pos, mask, lap_pe, atom_pad_mask, atom_msa_outputs):
+        B, N, _ = feat.shape
+        x = Linear(self.cfg.hidden_channels, name="aa_emb")(feat)
+        x = x + Linear(self.cfg.hidden_channels, name="laplacian_emb")(lap_pe)
+        x = x.reshape(B * N, -1)
+        edges, edge_attr = _build_graph(
+            pos, mask, self.cfg.knn_aa, self.cfg.smear_stop_aa, self.cfg.edge_channels
+        )
+        for i in range(self.cfg.num_interactions):
+            x = EncoderLayer2(self.cfg, cross_here=(i in (2, 5)), name=f"layer_{i}")(
+                x, edges, edge_attr, B * N, B, N, atom_msa_outputs[i], atom_pad_mask, mask
+            )
+        out = x.reshape(B, N, -1) * mask[..., None]
+        return out, ~mask[:, None, :]
+
+
+class DecoderLayer(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, enc, self_mask, cross_mask, cache: Optional[dict] = None):
+        x = DenseMHA(
+            self.cfg.hidden_channels, self.cfg.key_channels, self.cfg.num_heads,
+            name="dec_self_attn",
+        )(x, x, self_mask, cache=cache)
+        x = DenseMHA(
+            self.cfg.hidden_channels, self.cfg.key_channels, self.cfg.num_heads,
+            name="dec_enc_attn",
+        )(x, enc, cross_mask)
+        return PositionwiseFFN(self.cfg.hidden_channels, self.cfg.ffn_hidden, name="pos_ffn")(x)
+
+
+class Decoder(nn.Module):
+    """Property-prefixed causal SMILES decoder (CProMG.py:371-423)."""
+
+    cfg: DecoderConfig
+    num_props: int
+    pad_token: int
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jax.Array,  # [B, T]
+        enc: jax.Array,  # [B, S, C]
+        enc_pad_mask: jax.Array,  # [B, 1, S]
+        prop: Optional[jax.Array],  # [B, P]
+    ) -> jax.Array:
+        B, T = tokens.shape
+        C = self.cfg.hidden_channels
+        x = nn.Embed(self.cfg.vocab_size, C, embedding_init=nn.initializers.normal(1.0), name="mol_emb")(tokens)
+        x = x + sinusoidal_pe(T, C, x.dtype)[None]
+
+        type_emb = nn.Embed(2, C, embedding_init=nn.initializers.normal(1.0), name="type_emb")
+        if self.num_props:
+            x = x + type_emb(jnp.ones((B, T), jnp.int32))
+            p = Linear(C, name="prop_nn")(prop.astype(x.dtype))[:, None, :]
+            p = p + type_emb(jnp.zeros((B, 1), jnp.int32))
+            x = jnp.concatenate([p, x], axis=1)
+            # the property slot is never a pad key
+            key_is_pad = jnp.concatenate(
+                [jnp.zeros((B, 1), bool), tokens == self.pad_token], axis=1
+            )
+        else:
+            key_is_pad = tokens == self.pad_token
+
+        Tp = x.shape[1]
+        causal = jnp.triu(jnp.ones((Tp, Tp), bool), k=1)
+        self_mask = causal[None] | key_is_pad[:, None, :]
+        cross_mask = jnp.broadcast_to(enc_pad_mask, (B, Tp, enc_pad_mask.shape[-1]))
+
+        for i in range(self.cfg.num_interactions):
+            x = DecoderLayer(self.cfg, name=f"layer_{i}")(x, enc, self_mask, cross_mask)
+        return x
+
+
+class CProMGTransformer(nn.Module):
+    """Encoder ‖ Encoder2 -> Decoder -> vocab projection (CProMG.py:426-464)."""
+
+    cfg: ModelConfig
+    pad_token: int
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg.encoder, self.cfg.featurizer_feat_dim)
+        self.encoder2 = Encoder2(self.cfg.encoder, self.cfg.featurizer_feat_dim)
+        self.decoder = Decoder(self.cfg.decoder, self.cfg.num_props, self.pad_token)
+        self.projection = Linear(self.cfg.decoder.vocab_size, use_bias=False)
+
+    def encode(self, protein_feat, protein_pos, protein_mask, protein_lap):
+        return self.encoder(protein_feat, protein_pos, protein_mask, protein_lap)
+
+    def decode(self, tokens, enc, enc_pad_mask, prop):
+        """Decoder + projection; property position stripped. [B, T, V]."""
+        dec = self.decoder(tokens, enc, enc_pad_mask, prop)
+        logits = self.projection(dec)
+        if self.cfg.num_props:
+            logits = logits[:, 1:, :]
+        return logits
+
+    def __call__(
+        self,
+        protein_feat, protein_pos, protein_mask, protein_lap,
+        tokens,
+        ligand_feat, ligand_pos, ligand_mask, ligand_lap,
+        prop: Optional[jax.Array],
+    ) -> jax.Array:
+        enc1, pad1, msa = self.encoder(protein_feat, protein_pos, protein_mask, protein_lap)
+        enc2, pad2 = self.encoder2(ligand_feat, ligand_pos, ligand_mask, ligand_lap, pad1, msa)
+        enc = jnp.concatenate([enc1, enc2], axis=1)
+        pad = jnp.concatenate([pad1, pad2], axis=2)
+        return self.decode(tokens, enc, pad, prop)  # [B, T, V]

@@ -1,0 +1,150 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from singa_tpu.equivariant import so3
+from singa_tpu.equivariant.grid import get_grid
+from singa_tpu.equivariant.layers import (
+    EquivariantRMSNorm,
+    SO2Conv,
+    SO3Linear,
+    s2_activation,
+)
+from singa_tpu.equivariant.sh import rot_z
+from singa_tpu.equivariant.wigner import wigner_blocks
+
+LMAX, MMAX = 6, 2
+
+
+def _rand_rot(seed):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    return Q
+
+
+def _rotate_full(R, x):
+    return so3.rotate_full(jnp.asarray(R[None], x.dtype), x, LMAX)
+
+
+def test_grid_roundtrip_identity_full_m():
+    grid = get_grid(LMAX, LMAX)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, (LMAX + 1) ** 2, 3)).astype(np.float32))
+    y = grid.from_grid(grid.to_grid(x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+
+
+def test_grid_roundtrip_rescale_truncated():
+    # for l > mmax the roundtrip amplifies by (2l+1)/(2mmax+1), by design
+    grid = get_grid(LMAX, MMAX)
+    mapping = so3.CoefficientMapping(LMAX, MMAX)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, mapping.n_trunc, 2)).astype(np.float32))
+    y = np.asarray(grid.from_grid(grid.to_grid(x)))
+    expected_scale = np.where(
+        mapping.l_of_trunc > MMAX,
+        (2.0 * mapping.l_of_trunc + 1) / (2 * MMAX + 1),
+        1.0,
+    )
+    np.testing.assert_allclose(
+        y, np.asarray(x) * expected_scale[None, :, None], atol=1e-4
+    )
+
+
+def test_so3_linear_equivariance():
+    key = jax.random.PRNGKey(0)
+    mod = SO3Linear(features=5, lmax=LMAX)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(6, (LMAX + 1) ** 2, 3)).astype(np.float32))
+    params = mod.init(key, x)
+    R = _rand_rot(3)
+    out1 = _rotate_full(R, mod.apply(params, x))
+    out2 = mod.apply(params, _rotate_full(R, x))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-5)
+
+
+def test_rms_norm_equivariance():
+    key = jax.random.PRNGKey(0)
+    mod = EquivariantRMSNorm(lmax=LMAX)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(6, (LMAX + 1) ** 2, 3)).astype(np.float32))
+    params = mod.init(key, x)
+    R = _rand_rot(5)
+    out1 = _rotate_full(R, mod.apply(params, x))
+    out2 = mod.apply(params, _rotate_full(R, x))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-5)
+
+
+def _z_gauge_rotate_trunc(psi, x):
+    """Apply Dz(psi) to truncated l-primary features."""
+    blocks = wigner_blocks(jnp.asarray(rot_z(psi)[None], x.dtype), LMAX, LMAX)
+    mapping = so3.CoefficientMapping(LMAX, MMAX)
+    outs = []
+    off = 0
+    for l in range(LMAX + 1):
+        mm = min(l, MMAX)
+        D = blocks[l][0]  # [2l+1, 2l+1]
+        Dk = D[l - mm : l + mm + 1, l - mm : l + mm + 1]
+        xl = x[:, off : off + 2 * mm + 1, :]
+        outs.append(jnp.einsum("kn,enc->ekc", Dk, xl))
+        off += 2 * mm + 1
+    return jnp.concatenate(outs, axis=1)
+
+
+def test_so2_conv_gauge_equivariance():
+    """SO2 conv must commute with rotations about the edge axis (z)."""
+    key = jax.random.PRNGKey(0)
+    mapping = so3.CoefficientMapping(LMAX, MMAX)
+    mod = SO2Conv(features=4, lmax=LMAX, mmax=MMAX)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(8, mapping.n_trunc, 3)).astype(np.float32))
+    params = mod.init(key, x)
+    psi = 0.9
+    out1 = _z_gauge_rotate_trunc(psi, mod.apply(params, x))
+    out2 = mod.apply(params, _z_gauge_rotate_trunc(psi, x))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-5)
+
+
+def test_so2_conv_extra_m0_invariance():
+    key = jax.random.PRNGKey(1)
+    mapping = so3.CoefficientMapping(LMAX, MMAX)
+    mod = SO2Conv(features=4, lmax=LMAX, mmax=MMAX, extra_m0_features=5)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(8, mapping.n_trunc, 3)).astype(np.float32))
+    params = mod.init(key, x)
+    _, extra1 = mod.apply(params, x)
+    _, extra2 = mod.apply(params, _z_gauge_rotate_trunc(1.3, x))
+    np.testing.assert_allclose(np.asarray(extra1), np.asarray(extra2), atol=2e-5)
+
+
+def test_s2_activation_z_equivariance_full_m():
+    """With mmax=lmax the S2 activation is near-equivariant to z rotations.
+
+    Exactness is impossible: SiLU on a band-limited sphere signal creates
+    frequencies above the grid's band limit, which alias gauge-dependently.
+    The reference has the identical property (same grid resolutions,
+    EF_layers.py:551-556). The error scales ~quadratically with amplitude;
+    we check the small-signal regime stays tight.
+    """
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(
+        0.05 * rng.normal(size=(4, (LMAX + 1) ** 2, 2)).astype(np.float32)
+    )
+    act = lambda v: s2_activation(v, LMAX, LMAX)
+    psi = 0.7
+    blocks = wigner_blocks(jnp.asarray(rot_z(psi)[None], jnp.float32), LMAX, LMAX)
+
+    def rot(v):
+        outs = []
+        for l in range(LMAX + 1):
+            s = l * l
+            outs.append(jnp.einsum("kn,enc->ekc", blocks[l][0], v[:, s : s + 2 * l + 1]))
+        return jnp.concatenate(outs, axis=1)
+
+    out1 = np.asarray(rot(act(x)))
+    out2 = np.asarray(act(rot(x)))
+    err = np.abs(out1 - out2).max() / (np.abs(out1).max() + 1e-9)
+    assert err < 2e-2, err
