@@ -57,6 +57,7 @@ class EmbeddingConfig:
     num_layers: int = 3
     norm_type: str = "rms_norm_sh"
     basis_width_scalar: float = 20.0
+    remat: bool = True
     avg_degree: float = 23.395238876342773  # reference Embedding.py:36
 
 

@@ -104,8 +104,8 @@ class GraphAttention(nn.Module):
         x_edge: jax.Array,  # [E, De]
         edges: EdgeList,
         wigner: list[jax.Array],
-        num_dst: int,
     ) -> jax.Array:
+        num_dst = x_dst.shape[0]
         xs = x_src[edges.src]
         xt = x_dst[edges.dst]
         msg = jnp.concatenate([xs, xt], axis=-1)  # [E, coeffs, 2C]
@@ -180,7 +180,6 @@ class TransBlock(nn.Module):
         x_edge: jax.Array,
         edges: EdgeList,
         wigner: list[jax.Array],
-        num_dst: int,
     ) -> jax.Array:
         norm_1 = get_norm_layer(self.norm_type, self.lmax)
         xs = norm_1(x_src)
@@ -196,7 +195,7 @@ class TransBlock(nn.Module):
             mmax=self.mmax,
             edge_channels=self.edge_channels,
             name="ga",
-        )(xs, xt, x_edge, edges, wigner, num_dst)
+        )(xs, xt, x_edge, edges, wigner)
         x = x_dst + attn
 
         res = x

@@ -61,8 +61,9 @@ class EquivariantEmbedding(nn.Module):
             edge_channels=edge_hidden,
             rescale_factor=cfg.avg_degree,
         )
+        block_cls = nn.remat(TransBlock) if self.config.remat else TransBlock
         self.blocks = [
-            TransBlock(
+            block_cls(
                 sphere_channels=cfg.sphere_channels,
                 attn_hidden_channels=cfg.attn_hidden_channels,
                 attn_alpha_channels=cfg.attn_alpha_channels,
@@ -113,14 +114,14 @@ class EquivariantEmbedding(nn.Module):
         h = self._base_features(x, z)
         h = h + self.edge_degree_embedding(x_edge, edges, wigner, num_nodes)
         for block in self.blocks:
-            h = block(h, h, x_edge, edges, wigner, num_nodes)
+            h = block(h, h, x_edge, edges, wigner)
         return self.final_norm(h)
 
     def _inter_pass(self, h_src, h_dst, z_src, z_dst, pos_src, pos_dst, edges, num_dst):
         x_edge, wigner = self._edge_scalars(pos_src, pos_dst, z_src, z_dst, edges)
         h = h_dst + self.edge_degree_embedding(x_edge, edges, wigner, num_dst)
         for block in self.blocks:
-            h = block(h_src, h, x_edge, edges, wigner, num_dst)
+            h = block(h_src, h, x_edge, edges, wigner)
         return self.final_norm(h)
 
     def __call__(self, batch: ComplexBatch, gen_mode: bool = False) -> EmbeddingOutput:

@@ -1,0 +1,168 @@
+"""On-device beam search with static shapes.
+
+Re-design of /root/reference/model/BeamSearch.py: the python BeamHypotheses
+heap and per-batch bookkeeping loops (BeamSearch.py:7-35, 92-139) become
+masked tensor ops inside ``lax.while_loop``; the whole search stays on the
+TPU and is jittable. Semantics follow the reference: top-2K candidate
+expansion, EOS candidates ranked above K are dropped, finished hypotheses are
+length-penalty scored (score = logp_sum / len^penalty), early exit when every
+batch's worst kept hypothesis beats the best possible live continuation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from singa_tpu.config import EOS_TOKEN, PAD_TOKEN, SOS_TOKEN
+
+NEG = -1e9
+
+
+class BeamState(NamedTuple):
+    tokens: jax.Array  # [B, K, T] int32, PAD-filled
+    scores: jax.Array  # [B, K] cumulative log-prob of live beams
+    fin_tokens: jax.Array  # [B, K, T]
+    fin_scores: jax.Array  # [B, K] length-penalised, NEG when empty
+    cur_len: jax.Array  # scalar int32
+    done: jax.Array  # [B] bool
+
+
+def beam_search(
+    decode_fn,
+    batch_size: int,
+    num_beams: int,
+    max_length: int,
+    length_penalty: float = 0.7,
+    sos_token: int = SOS_TOKEN,
+    eos_token: int = EOS_TOKEN,
+    pad_token: int = PAD_TOKEN,
+    topk: int = 1,
+):
+    """Run beam search.
+
+    Args:
+      decode_fn: ``(tokens [B*K, T], cur_len) -> logits [B*K, V]`` for the
+        *next* token after position ``cur_len - 1``. Token positions >= cur_len
+        are PAD and must be ignored by the decoder's pad masking.
+      topk: number of hypotheses returned per batch element.
+
+    Returns ``(tokens [B, topk, T], scores [B, topk])``.
+    """
+    B, K, T = batch_size, num_beams, max_length
+
+    init_tokens = jnp.full((B, K, T), pad_token, jnp.int32).at[:, :, 0].set(sos_token)
+    init_scores = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)
+
+    state = BeamState(
+        tokens=init_tokens,
+        scores=init_scores,
+        fin_tokens=jnp.full((B, K, T), pad_token, jnp.int32),
+        fin_scores=jnp.full((B, K), NEG, jnp.float32),
+        cur_len=jnp.asarray(1, jnp.int32),
+        done=jnp.zeros((B,), bool),
+    )
+
+    def cond(state: BeamState):
+        return (state.cur_len < T) & ~jnp.all(state.done)
+
+    def body(state: BeamState) -> BeamState:
+        logits = decode_fn(state.tokens.reshape(B * K, T), state.cur_len)
+        V = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        cand = state.scores.reshape(B * K, 1) + logp  # [BK, V]
+        cand = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(cand, 2 * K)  # [B, 2K]
+        beam_idx = top_idx // V
+        tok_idx = top_idx % V
+        is_eos = tok_idx == eos_token
+
+        # ---- finished candidates: EOS within the first K ranks ----
+        rank = jnp.broadcast_to(jnp.arange(2 * K), (B, 2 * K))
+        fin_cand_valid = is_eos & (rank < K)
+        cl = state.cur_len.astype(jnp.float32)  # hypothesis length (excl. EOS)
+        fin_cand_scores = jnp.where(
+            fin_cand_valid, top_scores / (cl**length_penalty), NEG
+        )
+        # candidate token buffers: the source beam's tokens (EOS not appended,
+        # matching the reference which stores input_ids as-is, BeamSearch.py:112)
+        src_tokens = jnp.take_along_axis(
+            state.tokens, beam_idx[:, :, None], axis=1
+        )  # [B, 2K, T]
+        # merge into the K-slot heap
+        all_scores = jnp.concatenate([state.fin_scores, fin_cand_scores], axis=1)
+        all_tokens = jnp.concatenate([state.fin_tokens, src_tokens], axis=1)
+        keep_scores, keep_idx = jax.lax.top_k(all_scores, K)
+        new_fin_tokens = jnp.take_along_axis(all_tokens, keep_idx[:, :, None], axis=1)
+        # frozen for finished batches
+        fin_scores = jnp.where(state.done[:, None], state.fin_scores, keep_scores)
+        fin_tokens = jnp.where(
+            state.done[:, None, None], state.fin_tokens, new_fin_tokens
+        )
+
+        # ---- live beams: best K non-EOS candidates ----
+        live_key = jnp.where(is_eos, NEG, top_scores)
+        live_scores, live_sel = jax.lax.top_k(live_key, K)  # [B, K]
+        live_beam = jnp.take_along_axis(beam_idx, live_sel, axis=1)
+        live_tok = jnp.take_along_axis(tok_idx, live_sel, axis=1)
+        new_tokens = jnp.take_along_axis(state.tokens, live_beam[:, :, None], axis=1)
+        new_tokens = jax.vmap(
+            lambda t, tk, cl_: t.at[:, cl_].set(tk), in_axes=(0, 0, None)
+        )(new_tokens, live_tok, state.cur_len)
+
+        # finished batches keep padding themselves
+        new_tokens = jnp.where(state.done[:, None, None], state.tokens, new_tokens)
+        new_scores = jnp.where(state.done[:, None], state.scores, live_scores)
+
+        # ---- done condition (BeamHypotheses.is_done, BeamSearch.py:29-35) ----
+        heap_full = fin_scores > NEG / 2
+        worst_kept = jnp.min(jnp.where(heap_full, fin_scores, jnp.inf), axis=1)
+        best_live = jnp.max(new_scores, axis=1) / (cl**length_penalty)
+        newly_done = jnp.all(heap_full, axis=1) & (worst_kept >= best_live)
+
+        return BeamState(
+            tokens=new_tokens,
+            scores=new_scores,
+            fin_tokens=fin_tokens,
+            fin_scores=fin_scores,
+            cur_len=state.cur_len + 1,
+            done=state.done | newly_done,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # flush remaining live beams for unfinished batches (BeamSearch.py:141-149)
+    cl = state.cur_len.astype(jnp.float32)
+    live_pen = state.scores / (cl**length_penalty)
+    live_pen = jnp.where(state.done[:, None], NEG, live_pen)
+    all_scores = jnp.concatenate([state.fin_scores, live_pen], axis=1)
+    all_tokens = jnp.concatenate([state.fin_tokens, state.tokens], axis=1)
+    final_scores, sel = jax.lax.top_k(all_scores, K)
+    final_tokens = jnp.take_along_axis(all_tokens, sel[:, :, None], axis=1)
+
+    return final_tokens[:, :topk], final_scores[:, :topk]
+
+
+def make_decode_fn(model, params, enc, enc_pad_mask, prop, num_beams: int):
+    """Adapter: SINGA decode over beam-expanded pocket encodings.
+
+    Expands encoder outputs ``repeat_interleave(num_beams)`` once
+    (BeamSearch.py:78-79) and returns the last-position logits."""
+    enc_rep = jnp.repeat(enc, num_beams, axis=0)
+    pad_rep = jnp.repeat(enc_pad_mask, num_beams, axis=0)
+    prop_rep = None if prop is None else jnp.repeat(prop, num_beams, axis=0)
+
+    def decode_fn(tokens, cur_len):
+        logits = model.apply(
+            params, tokens, enc_rep, pad_rep, prop_rep, method="decode_step"
+        )  # [BK, T, V]
+        return jnp.take_along_axis(
+            logits,
+            (cur_len - 1)[None, None, None].astype(jnp.int32)
+            * jnp.ones((tokens.shape[0], 1, 1), jnp.int32),
+            axis=1,
+        )[:, 0, :]
+
+    return decode_fn

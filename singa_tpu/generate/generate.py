@@ -1,0 +1,99 @@
+"""Generation pipeline: checkpoint -> pocket featurization -> beam search ->
+SMILES CSV.
+
+Re-design of /root/reference/gen.py + model/BeamSearch.py: featurization goes
+through the self-contained chem stack, the search runs fully on-device, and
+the detokenizer strips the control tokens (gen.py:200-213).
+
+CLI: python -m singa_tpu.generate.generate --checkpoint runs/x/checkpoints \
+       --input pocket.pdb --output out.csv
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singa_tpu.chem.tokenizer import decode as detokenize
+from singa_tpu.config import Config, load_config
+from singa_tpu.data.complex_builder import build_from_files
+from singa_tpu.generate.beam import beam_search, make_decode_fn
+from singa_tpu.models.singa import SINGA
+from singa_tpu.train.checkpointing import CheckpointManager
+
+
+def generate_for_pocket(
+    model: SINGA,
+    params,
+    batch,
+    cfg: Config,
+    prop_target=None,
+):
+    """Returns (smiles list, scores) for one pocket batch."""
+    enc, pad = model.apply(params, batch, method="encode_pocket")
+    prop = None
+    if cfg.model.num_props:
+        tgt = prop_target if prop_target is not None else cfg.generate.prop
+        prop = jnp.asarray([tgt] * batch.batch_size, jnp.float32)
+
+    decode_fn = make_decode_fn(model, params, enc, pad, prop, cfg.generate.num_beams)
+
+    tokens, scores = jax.jit(
+        lambda: beam_search(
+            decode_fn,
+            batch_size=batch.batch_size,
+            num_beams=cfg.generate.num_beams,
+            max_length=cfg.generate.max_length,
+            length_penalty=cfg.generate.length_penalty,
+            topk=cfg.generate.topk,
+        )
+    )()
+    tokens = np.asarray(tokens)
+    smiles = [
+        detokenize(tokens[b, k])
+        for b in range(tokens.shape[0])
+        for k in range(tokens.shape[1])
+    ]
+    return smiles, np.asarray(scores).reshape(-1)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", type=str, required=True)
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--input", type=str, required=True, help="pocket PDB")
+    ap.add_argument("--output", type=str, default="generated.csv")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else Config()
+    ckpt_cfg_path = os.path.join(os.path.dirname(args.checkpoint.rstrip("/")), "config.yml")
+    if args.config is None and os.path.exists(ckpt_cfg_path):
+        cfg = load_config(ckpt_cfg_path)
+
+    batch = build_from_files(args.input, None, cfg.shapes, cfg.model.decoder.tgt_len)
+    model = SINGA(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    mgr = CheckpointManager(args.checkpoint)
+    from singa_tpu.train.optim import make_optimizer
+
+    opt = make_optimizer(cfg.train.optimizer)
+    restored = mgr.restore(params, opt.init(params))
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {args.checkpoint}")
+    _, params, _, _ = restored
+
+    smiles, scores = generate_for_pocket(model, params, batch, cfg)
+    with open(args.output, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["smiles", "score"])
+        for s, sc in zip(smiles, scores):
+            w.writerow([s, float(sc)])
+    print(f"wrote {len(smiles)} molecules to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -86,8 +86,8 @@ class GraphMHA(nn.Module):
         node_attr: jax.Array,  # [M, C]
         edges: EdgeList,
         edge_attr: jax.Array,  # [E, De]
-        num_nodes: int,
     ) -> jax.Array:
+        num_nodes = node_attr.shape[0]
         H = self.num_heads
         kd = self.key_channels // H
         vd = self.hidden_channels // H
@@ -193,13 +193,13 @@ class EncoderLayer(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, node_attr, edges, edge_attr, num_nodes):
+    def __call__(self, node_attr, edges, edge_attr):
         msa = GraphMHA(
             self.cfg.hidden_channels,
             self.cfg.key_channels,
             self.cfg.num_heads,
             name="enc_self_attn",
-        )(node_attr, edges, edge_attr, num_nodes)
+        )(node_attr, edges, edge_attr)
         ffn = PositionwiseFFN(self.cfg.hidden_channels, self.cfg.ffn_hidden, name="pos_ffn")(msa)
         return msa, ffn
 
@@ -219,9 +219,10 @@ class Encoder(nn.Module):
         edges, edge_attr = _build_graph(
             pos, mask, self.cfg.knn, self.cfg.smear_stop, self.cfg.edge_channels
         )
+        layer_cls = nn.remat(EncoderLayer)
         msa_outputs = []
         for i in range(self.cfg.num_interactions):
-            msa, x = EncoderLayer(self.cfg, name=f"layer_{i}")(x, edges, edge_attr, B * N)
+            msa, x = layer_cls(self.cfg, name=f"layer_{i}")(x, edges, edge_attr)
             msa_outputs.append(msa.reshape(B, N, -1))
         out = x.reshape(B, N, -1) * mask[..., None]
         pad_mask = ~mask[:, None, :]  # [B, 1, N], True = blocked
@@ -233,13 +234,13 @@ class EncoderLayer2(nn.Module):
     cross_here: bool
 
     @nn.compact
-    def __call__(self, node_attr, edges, edge_attr, num_nodes, B, N, atom_msa, atom_pad_mask, mask):
+    def __call__(self, node_attr, edges, edge_attr, B, N, atom_msa, atom_pad_mask, mask):
         msa = GraphMHA(
             self.cfg.hidden_channels,
             self.cfg.key_channels,
             self.cfg.num_heads,
             name="enc_self_attn",
-        )(node_attr, edges, edge_attr, num_nodes)
+        )(node_attr, edges, edge_attr)
         if self.cross_here:
             proj = Linear(self.cfg.hidden_channels, name="proj")(atom_msa)
             q = msa.reshape(B, N, -1)
@@ -274,7 +275,7 @@ class Encoder2(nn.Module):
         )
         for i in range(self.cfg.num_interactions):
             x = EncoderLayer2(self.cfg, cross_here=(i in (2, 5)), name=f"layer_{i}")(
-                x, edges, edge_attr, B * N, B, N, atom_msa_outputs[i], atom_pad_mask, mask
+                x, edges, edge_attr, B, N, atom_msa_outputs[i], atom_pad_mask, mask
             )
         out = x.reshape(B, N, -1) * mask[..., None]
         return out, ~mask[:, None, :]

@@ -1,0 +1,88 @@
+"""Device mesh construction and sharding rules.
+
+The reference is strictly single-GPU (SURVEY.md §2.9); this module is the new
+scaling layer: a (data, model) mesh, batch sharding over ``data``, optional
+tensor sharding of the large dense kernels over ``model``. Collectives are
+inserted by XLA from sharding annotations (the scaling-book recipe) — no
+hand-written NCCL analogue.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from singa_tpu.config import ParallelConfig
+
+
+def make_mesh(cfg: ParallelConfig = ParallelConfig(), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    n_model = max(1, cfg.num_model)
+    n_data = cfg.num_data if cfg.num_data > 0 else n // n_model
+    if n_data * n_model > n:
+        raise ValueError(f"mesh {n_data}x{n_model} exceeds {n} devices")
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, (cfg.data_axis, cfg.model_axis))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension of every array over ``data``."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def shard_batch(batch: Any, mesh: Mesh, data_axis: str = "data") -> Any:
+    spec = batch_sharding(mesh, data_axis)
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1)))))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+# Parameter tensor-parallel rules: path-regex -> PartitionSpec factory.
+# Large CProMG kernels are sharded over the model axis; everything else is
+# replicated. Column-parallel on the output dim for up-projections, vocab
+# projection and attention QKV; row-parallel for down-projections.
+_TP_RULES: list[tuple[str, Any]] = [
+    (r".*decoder.*conv1/.*Dense.*/kernel", lambda ax: P(None, ax)),
+    (r".*decoder.*conv2/.*Dense.*/kernel", lambda ax: P(ax, None)),
+    (r".*pos_ffn/conv1/.*Dense.*/kernel", lambda ax: P(None, ax)),
+    (r".*pos_ffn/conv2/.*Dense.*/kernel", lambda ax: P(ax, None)),
+    (r".*projection/.*Dense.*/kernel", lambda ax: P(None, ax)),
+    (r".*W_[QKV]/.*Dense.*/kernel", lambda ax: P(None, ax)),
+]
+
+
+def param_sharding(params: Any, mesh: Mesh, model_axis: str = "model") -> Any:
+    """NamedSharding pytree for the parameters: TP rules + replication."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path, leaf):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if mesh.shape[model_axis] > 1:
+            for pattern, fn in _TP_RULES:
+                if re.fullmatch(pattern, name):
+                    spec = fn(model_axis)
+                    # only shard if the dim divides evenly
+                    for dim, axis_name in enumerate(spec):
+                        if axis_name is not None and leaf.shape[dim] % mesh.shape[model_axis]:
+                            return P()
+                    return spec
+        return P()
+
+    specs = {}
+    path_specs = [(path, spec_for(path, leaf)) for path, leaf in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [NamedSharding(mesh, s) for _, s in path_specs]
+    )
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )

@@ -1,0 +1,83 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from singa_tpu.config import OptimizerConfig, SchedulerConfig
+from singa_tpu.data.dataset import SyntheticDataset
+from singa_tpu.train.loop import Trainer
+from singa_tpu.train.optim import (
+    EarlyStopping,
+    PlateauState,
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+
+from tests.test_model import TGT_LEN, tiny_config
+
+
+def test_plateau_scheduler():
+    st = PlateauState.create(SchedulerConfig(factor=0.5, patience=2, min_lr=1e-5), 1e-3)
+    # improving: lr stays
+    for m in (1.0, 0.9, 0.8):
+        st = st.step_metric(m)
+    assert st.lr == 1e-3
+    # stall for patience+1 validations -> decay
+    for m in (0.8, 0.8, 0.8):
+        st = st.step_metric(m)
+    assert np.isclose(st.lr, 5e-4)
+    # decay floors at min_lr
+    for _ in range(40):
+        st = st.step_metric(0.8)
+    assert st.lr >= 1e-5
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=3, delta=0.0)
+    assert es.update(1.0)
+    assert not es.update(1.0)
+    es.update(1.0)
+    es.update(1.0)
+    assert es.should_stop
+
+
+def test_optimizer_lr_injection():
+    opt = make_optimizer(OptimizerConfig(lr=1e-4))
+    params = {"w": np.zeros(3, np.float32)}
+    state = opt.init(params)
+    assert np.isclose(get_learning_rate(state), 1e-4)
+    state = set_learning_rate(state, 5e-5)
+    assert np.isclose(get_learning_rate(state), 5e-5)
+
+
+@pytest.mark.slow
+def test_trainer_loss_decreases_and_resumes(tmp_path):
+    cfg = tiny_config()
+    data = SyntheticDataset(2, cfg.shapes, TGT_LEN, seed=0, num_distinct=2)
+    logdir = str(tmp_path / "run")
+
+    trainer = Trainer(cfg, logdir=logdir, use_mesh=True)
+    trainer.init_state(next(iter(data)))
+    losses = []
+    it = iter(data)
+    for _ in range(8):
+        trainer.step += 1
+        batch = trainer._put(next(it))
+        trainer.params, trainer.opt_state, loss, _ = trainer._train_step(
+            trainer.params, trainer.opt_state, batch
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    trainer.save()
+    trainer.ckpt.wait()
+
+    # resume into a fresh trainer
+    trainer2 = Trainer(cfg, logdir=logdir, use_mesh=True)
+    step = trainer2.init_state(next(iter(data)))
+    assert step == trainer.step
+    # one more step works after restore
+    batch = trainer2._put(next(iter(data)))
+    p, o, loss2, _ = trainer2._train_step(trainer2.params, trainer2.opt_state, batch)
+    assert np.isfinite(float(loss2))
