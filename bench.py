@@ -17,6 +17,12 @@ import optax
 
 
 def main():
+    # persistent compile cache: repeat runs skip the ~3 min XLA compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     from singa_tpu.config import Config
     from singa_tpu.data.batch import synthetic_batch
     from singa_tpu.models.singa import SINGA, cross_entropy_loss
