@@ -25,11 +25,13 @@ def main():
         pass
     from singa_tpu.config import Config
     from singa_tpu.data.batch import synthetic_batch
+    from singa_tpu.dtypes import set_compute_dtype
     from singa_tpu.models.singa import SINGA, cross_entropy_loss
     from singa_tpu.train.optim import make_optimizer
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     cfg = Config()
+    set_compute_dtype(cfg.train.compute_dtype)
     batch = synthetic_batch(
         0, batch_size=batch_size, shapes=cfg.shapes, tgt_len=cfg.model.decoder.tgt_len
     )
@@ -62,7 +64,7 @@ def main():
     t0 = time.time()
     for _ in range(iters):
         params, opt_state, loss = train_step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    final_loss = float(loss)  # value fetch forces completion
     dt = time.time() - t0
     gps = batch_size * iters / dt
     print(f"{iters} steps in {dt:.2f}s -> {gps:.1f} graphs/s", file=sys.stderr)

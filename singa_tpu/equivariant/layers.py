@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from singa_tpu.dtypes import compute_dtype
 from singa_tpu.equivariant.grid import get_grid
 from singa_tpu.equivariant.so3 import CoefficientMapping
 
@@ -49,6 +50,7 @@ class Linear(nn.Module):
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
+            dtype=compute_dtype(),
             kernel_init=torch_linear_kernel_init,
             bias_init=torch_linear_bias_init(fan_in),
         )(x)
@@ -65,6 +67,7 @@ class Embed(nn.Module):
         return nn.Embed(
             self.num_embeddings,
             self.features,
+            dtype=compute_dtype(),
             embedding_init=nn.initializers.normal(stddev=1.0),
         )(idx)
 
@@ -115,10 +118,11 @@ class SO3Linear(nn.Module):
             (self.lmax + 1, self.features, c_in),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = compute_dtype()
         l_of = CoefficientMapping(self.lmax, self.lmax).l_of_full
-        w = jnp.take(weight.astype(x.dtype), l_of, axis=0)  # [coeffs, out, in]
-        out = jnp.einsum("nic,ioc->nio", x, w)
-        out = out.at[:, 0, :].add(bias.astype(x.dtype))
+        w = jnp.take(weight.astype(dt), l_of, axis=0)  # [coeffs, out, in]
+        out = jnp.einsum("nic,ioc->nio", x.astype(dt), w)
+        out = out.at[:, 0, :].add(bias.astype(dt))
         return out
 
 
@@ -135,6 +139,8 @@ class EquivariantRMSNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         C = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (self.lmax + 1, C))
         bias = self.param("bias", nn.initializers.zeros, (C,)) if self.centering else None
@@ -160,7 +166,7 @@ class EquivariantRMSNorm(nn.Module):
         out = x * inv * w[None]
         if self.centering:
             out = out.at[:, 0, :].add(bias.astype(x.dtype))
-        return out
+        return out.astype(in_dtype)
 
 
 class EquivariantLayerNorm(nn.Module):
@@ -289,6 +295,7 @@ class SO2Conv(nn.Module):
             fc = nn.Dense(
                 2 * half,
                 use_bias=False,
+                dtype=compute_dtype(),
                 kernel_init=lambda k, s, d=jnp.float32: torch_linear_kernel_init(
                     k, s, d
                 )

@@ -108,49 +108,106 @@ class CoefficientMapping:
         return jnp.take(x, self.m_to_l, axis=-2)
 
 
+@functools.lru_cache(maxsize=None)
+class _PaddedLayout:
+    """Gather indices between l-primary layouts and the (L, K, N) padded
+    block layout used for single-einsum rotations. K = 2*mmax+1 row slots,
+    N = 2*lmax+1 column slots; invalid slots map to a trailing zero column."""
+
+    def __init__(self, lmax: int, mmax: int):
+        L = lmax + 1
+        K = 2 * mmax + 1
+        N = 2 * lmax + 1
+        mapping = CoefficientMapping(lmax, mmax)
+        n_full = mapping.n_full
+        n_trunc = mapping.n_trunc
+
+        # full l-primary -> [L, N] slots (invalid -> n_full sentinel)
+        full_to_pad = np.full((L, N), n_full, np.int32)
+        for l in range(L):
+            for n in range(2 * l + 1):
+                full_to_pad[l, n] = l * l + n
+        # [L, N] padded -> full gather (each valid coeff appears once)
+        pad_to_full = np.zeros(n_full, np.int32)
+        for l in range(L):
+            for n in range(2 * l + 1):
+                pad_to_full[l * l + n] = l * N + n
+
+        # truncated l-primary -> [L, K] slots
+        trunc_to_pad = np.full((L, K), n_trunc, np.int32)
+        for l in range(L):
+            mm = min(l, mmax)
+            for k in range(2 * mm + 1):
+                trunc_to_pad[l, k] = mapping.trunc_offset[l] + k
+        pad_to_trunc = np.zeros(n_trunc, np.int32)
+        for l in range(L):
+            mm = min(l, mmax)
+            for k in range(2 * mm + 1):
+                pad_to_trunc[mapping.trunc_offset[l] + k] = l * K + k
+
+        self.L, self.K, self.N = L, K, N
+        self.full_to_pad = full_to_pad.reshape(-1)
+        self.pad_to_full = pad_to_full
+        self.trunc_to_pad = trunc_to_pad.reshape(-1)
+        self.pad_to_trunc = pad_to_trunc
+        # rotate_inv rescale per full coefficient
+        self.inv_rescale = mapping.rotate_inv_rescale
+
+
+def pad_wigner_blocks(blocks: list[jax.Array], lmax: int, mmax: int) -> jax.Array:
+    """Stack per-l truncated blocks into one ``[E, L, K, N]`` tensor."""
+    K = 2 * mmax + 1
+    N = 2 * lmax + 1
+    padded = []
+    for l, b in enumerate(blocks):
+        mm = min(l, mmax)
+        b = jnp.pad(b, ((0, 0), (0, K - (2 * mm + 1)), (0, N - (2 * l + 1))))
+        padded.append(b)
+    return jnp.stack(padded, axis=1)
+
+
 def edge_wigner(edge_vec: jax.Array, lmax: int, mmax: int, dtype=jnp.float32):
-    """Truncated Wigner blocks for the edge-aligned frames of ``edge_vec [E,3]``."""
+    """Padded Wigner tensor ``[E, L, K, N]`` for edge-aligned frames."""
     rot = edge_rotation(edge_vec.astype(dtype))
-    return wigner_blocks(rot, lmax, mmax, dtype=dtype)
+    blocks = wigner_blocks(rot, lmax, mmax, dtype=dtype)
+    return pad_wigner_blocks(blocks, lmax, mmax)
 
 
-def rotate(blocks: list[jax.Array], x: jax.Array, lmax: int, mmax: int) -> jax.Array:
+def rotate(wigner: jax.Array, x: jax.Array, lmax: int, mmax: int) -> jax.Array:
     """Rotate full l-primary features into the (truncated) edge frame.
 
-    x: ``[E, (lmax+1)^2, C]`` -> ``[E, n_trunc, C]``.
+    ``wigner``: padded ``[E, L, K, N]``; ``x``: ``[E, (lmax+1)^2, C]`` ->
+    ``[E, n_trunc, C]``. One einsum over all degrees.
     """
-    outs = []
-    for l in range(lmax + 1):
-        s = l * l
-        xl = jax.lax.slice_in_dim(x, s, s + 2 * l + 1, axis=-2)
-        outs.append(jnp.einsum("ekn,enc->ekc", blocks[l], xl))
-    return jnp.concatenate(outs, axis=-2)
+    lay = _PaddedLayout(lmax, mmax)
+    E, _, C = x.shape
+    x_pad = jnp.concatenate([x, jnp.zeros((E, 1, C), x.dtype)], axis=1)
+    xg = jnp.take(x_pad, lay.full_to_pad, axis=1).reshape(E, lay.L, lay.N, C)
+    out = jnp.einsum("elkn,elnc->elkc", wigner.astype(x.dtype), xg)
+    out = out.reshape(E, lay.L * lay.K, C)
+    return jnp.take(out, lay.pad_to_trunc, axis=1)
 
 
 def rotate_inv(
-    blocks: list[jax.Array],
+    wigner: jax.Array,
     x: jax.Array,
     lmax: int,
     mmax: int,
     rescale: bool = True,
 ) -> jax.Array:
-    """Rotate truncated edge-frame features back: ``[E, n_trunc, C] -> [E, full, C]``.
-
-    Uses D^T (blocks are orthogonal) and applies the reference's m-truncation
-    rescale for l > mmax.
-    """
-    mapping = CoefficientMapping(lmax, mmax)
-    outs = []
-    off = 0
-    for l in range(lmax + 1):
-        mm = min(l, mmax)
-        xl = jax.lax.slice_in_dim(x, off, off + 2 * mm + 1, axis=-2)
-        out = jnp.einsum("ekn,ekc->enc", blocks[l], xl)
-        if rescale and l > mmax:
-            out = out * np.sqrt((2 * l + 1) / (2 * mmax + 1)).astype(np.float32)
-        outs.append(out)
-        off += 2 * mm + 1
-    return jnp.concatenate(outs, axis=-2)
+    """Rotate truncated edge-frame features back: ``[E, n_trunc, C] ->
+    [E, full, C]`` via D^T, with the reference's m-truncation rescale
+    (EF_layers.py:1530-1549)."""
+    lay = _PaddedLayout(lmax, mmax)
+    E, _, C = x.shape
+    x_pad = jnp.concatenate([x, jnp.zeros((E, 1, C), x.dtype)], axis=1)
+    xg = jnp.take(x_pad, lay.trunc_to_pad, axis=1).reshape(E, lay.L, lay.K, C)
+    out = jnp.einsum("elkn,elkc->elnc", wigner.astype(x.dtype), xg)
+    out = out.reshape(E, lay.L * lay.N, C)
+    out = jnp.take(out, lay.pad_to_full, axis=1)
+    if rescale:
+        out = out * jnp.asarray(lay.inv_rescale, x.dtype)[None, :, None]
+    return out
 
 
 def node_wigner(pos_like_rot: jax.Array, lmax: int, mmax: int):

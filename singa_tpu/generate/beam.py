@@ -1,17 +1,17 @@
-"""On-device beam search with static shapes.
+"""On-device beam search with static shapes and KV-cached decoding.
 
 Re-design of /root/reference/model/BeamSearch.py: the python BeamHypotheses
 heap and per-batch bookkeeping loops (BeamSearch.py:7-35, 92-139) become
-masked tensor ops inside ``lax.while_loop``; the whole search stays on the
-TPU and is jittable. Semantics follow the reference: top-2K candidate
+masked tensor ops inside ``lax.while_loop``; the decoder runs incrementally
+against a KV cache (the reference re-runs the full decoder per token,
+BeamSearch.py:81-83). Semantics follow the reference: top-2K candidate
 expansion, EOS candidates ranked above K are dropped, finished hypotheses are
-length-penalty scored (score = logp_sum / len^penalty), early exit when every
-batch's worst kept hypothesis beats the best possible live continuation.
+length-penalty scored (logp_sum / len^penalty), early exit when every batch's
+worst kept hypothesis beats the best possible live continuation.
 """
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,10 +28,24 @@ class BeamState(NamedTuple):
     fin_scores: jax.Array  # [B, K] length-penalised, NEG when empty
     cur_len: jax.Array  # scalar int32
     done: jax.Array  # [B] bool
+    cache: Any  # KV-cache pytree (or None)
+
+
+def _gather_cache(cache: Any, flat_idx: jax.Array, rows: int) -> Any:
+    """Reorder per-beam cache rows after beam selection."""
+    if cache is None:
+        return None
+
+    def g(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == rows:
+            return x[flat_idx]
+        return x
+
+    return jax.tree_util.tree_map(g, cache)
 
 
 def beam_search(
-    decode_fn,
+    decode_fn: Callable,
     batch_size: int,
     num_beams: int,
     max_length: int,
@@ -40,14 +54,16 @@ def beam_search(
     eos_token: int = EOS_TOKEN,
     pad_token: int = PAD_TOKEN,
     topk: int = 1,
+    init_cache: Any = None,
 ):
     """Run beam search.
 
     Args:
-      decode_fn: ``(tokens [B*K, T], cur_len) -> logits [B*K, V]`` for the
-        *next* token after position ``cur_len - 1``. Token positions >= cur_len
-        are PAD and must be ignored by the decoder's pad masking.
-      topk: number of hypotheses returned per batch element.
+      decode_fn: ``(tokens [B*K, T], cur_len, cache) -> (logits [B*K, V],
+        cache)`` — next-token logits after position ``cur_len - 1``. The
+        cache may be None (full-prefix decoding) or a KV-cache pytree whose
+        leading-row-``B*K`` arrays are gathered on beam reorder.
+      topk: hypotheses returned per batch element.
 
     Returns ``(tokens [B, topk, T], scores [B, topk])``.
     """
@@ -63,13 +79,16 @@ def beam_search(
         fin_scores=jnp.full((B, K), NEG, jnp.float32),
         cur_len=jnp.asarray(1, jnp.int32),
         done=jnp.zeros((B,), bool),
+        cache=init_cache,
     )
 
     def cond(state: BeamState):
         return (state.cur_len < T) & ~jnp.all(state.done)
 
     def body(state: BeamState) -> BeamState:
-        logits = decode_fn(state.tokens.reshape(B * K, T), state.cur_len)
+        logits, cache = decode_fn(
+            state.tokens.reshape(B * K, T), state.cur_len, state.cache
+        )
         V = logits.shape[-1]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         cand = state.scores.reshape(B * K, 1) + logp  # [BK, V]
@@ -86,17 +105,13 @@ def beam_search(
         fin_cand_scores = jnp.where(
             fin_cand_valid, top_scores / (cl**length_penalty), NEG
         )
-        # candidate token buffers: the source beam's tokens (EOS not appended,
-        # matching the reference which stores input_ids as-is, BeamSearch.py:112)
         src_tokens = jnp.take_along_axis(
             state.tokens, beam_idx[:, :, None], axis=1
         )  # [B, 2K, T]
-        # merge into the K-slot heap
         all_scores = jnp.concatenate([state.fin_scores, fin_cand_scores], axis=1)
         all_tokens = jnp.concatenate([state.fin_tokens, src_tokens], axis=1)
         keep_scores, keep_idx = jax.lax.top_k(all_scores, K)
         new_fin_tokens = jnp.take_along_axis(all_tokens, keep_idx[:, :, None], axis=1)
-        # frozen for finished batches
         fin_scores = jnp.where(state.done[:, None], state.fin_scores, keep_scores)
         fin_tokens = jnp.where(
             state.done[:, None, None], state.fin_tokens, new_fin_tokens
@@ -112,9 +127,18 @@ def beam_search(
             lambda t, tk, cl_: t.at[:, cl_].set(tk), in_axes=(0, 0, None)
         )(new_tokens, live_tok, state.cur_len)
 
-        # finished batches keep padding themselves
         new_tokens = jnp.where(state.done[:, None, None], state.tokens, new_tokens)
         new_scores = jnp.where(state.done[:, None], state.scores, live_scores)
+
+        # reorder the per-beam KV cache rows to follow the selected beams
+        base = (jnp.arange(B, dtype=jnp.int32) * K)[:, None]
+        keep_beam = jnp.where(
+            state.done[:, None],
+            jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K)),
+            live_beam.astype(jnp.int32),
+        )
+        flat_idx = (keep_beam + base).reshape(-1)
+        cache = _gather_cache(cache, flat_idx, B * K)
 
         # ---- done condition (BeamHypotheses.is_done, BeamSearch.py:29-35) ----
         heap_full = fin_scores > NEG / 2
@@ -129,6 +153,7 @@ def beam_search(
             fin_scores=fin_scores,
             cur_len=state.cur_len + 1,
             done=state.done | newly_done,
+            cache=cache,
         )
 
     state = jax.lax.while_loop(cond, body, state)
@@ -146,23 +171,58 @@ def beam_search(
 
 
 def make_decode_fn(model, params, enc, enc_pad_mask, prop, num_beams: int):
-    """Adapter: SINGA decode over beam-expanded pocket encodings.
-
-    Expands encoder outputs ``repeat_interleave(num_beams)`` once
-    (BeamSearch.py:78-79) and returns the last-position logits."""
+    """Full-prefix decode adapter (no KV cache; fallback / parity path)."""
     enc_rep = jnp.repeat(enc, num_beams, axis=0)
     pad_rep = jnp.repeat(enc_pad_mask, num_beams, axis=0)
     prop_rep = None if prop is None else jnp.repeat(prop, num_beams, axis=0)
 
-    def decode_fn(tokens, cur_len):
+    def decode_fn(tokens, cur_len, cache):
         logits = model.apply(
             params, tokens, enc_rep, pad_rep, prop_rep, method="decode_step"
         )  # [BK, T, V]
-        return jnp.take_along_axis(
+        step = jnp.take_along_axis(
             logits,
             (cur_len - 1)[None, None, None].astype(jnp.int32)
             * jnp.ones((tokens.shape[0], 1, 1), jnp.int32),
             axis=1,
         )[:, 0, :]
+        return step, cache
 
     return decode_fn
+
+
+def make_cached_decode_fn(model, params, enc, enc_pad_mask, prop, num_beams: int):
+    """KV-cached decode adapter. Returns (decode_fn, init_cache).
+
+    The cache is primed with the property prefix; each step feeds only the
+    last token. ``model`` is the SINGA module (methods prime_cache /
+    decode_token on its CProMG transformer).
+    """
+    enc_rep = jnp.repeat(enc, num_beams, axis=0)
+    pad_rep = jnp.repeat(enc_pad_mask, num_beams, axis=0)
+    prop_rep = None if prop is None else jnp.repeat(prop, num_beams, axis=0)
+
+    _, variables = model.apply(
+        params, enc_rep, pad_rep, prop_rep, method="prime_cache", mutable=["cache"]
+    )
+    init_cache = variables["cache"]
+
+    def decode_fn(tokens, cur_len, cache):
+        last = jnp.take_along_axis(
+            tokens,
+            (cur_len - 1)[None, None].astype(jnp.int32)
+            * jnp.ones((tokens.shape[0], 1), jnp.int32),
+            axis=1,
+        )  # [BK, 1]
+        logits, variables = model.apply(
+            {**params, "cache": cache},
+            last,
+            cur_len - 1,
+            enc_rep,
+            pad_rep,
+            method="decode_token",
+            mutable=["cache"],
+        )
+        return logits, variables["cache"]
+
+    return decode_fn, init_cache

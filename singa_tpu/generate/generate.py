@@ -21,7 +21,7 @@ import numpy as np
 from singa_tpu.chem.tokenizer import decode as detokenize
 from singa_tpu.config import Config, load_config
 from singa_tpu.data.complex_builder import build_from_files
-from singa_tpu.generate.beam import beam_search, make_decode_fn
+from singa_tpu.generate.beam import beam_search, make_cached_decode_fn
 from singa_tpu.models.singa import SINGA
 from singa_tpu.train.checkpointing import CheckpointManager
 
@@ -40,18 +40,21 @@ def generate_for_pocket(
         tgt = prop_target if prop_target is not None else cfg.generate.prop
         prop = jnp.asarray([tgt] * batch.batch_size, jnp.float32)
 
-    decode_fn = make_decode_fn(model, params, enc, pad, prop, cfg.generate.num_beams)
+    decode_fn, init_cache = make_cached_decode_fn(
+        model, params, enc, pad, prop, cfg.generate.num_beams
+    )
 
     tokens, scores = jax.jit(
-        lambda: beam_search(
+        lambda cache: beam_search(
             decode_fn,
             batch_size=batch.batch_size,
             num_beams=cfg.generate.num_beams,
             max_length=cfg.generate.max_length,
             length_penalty=cfg.generate.length_penalty,
             topk=cfg.generate.topk,
+            init_cache=cache,
         )
-    )()
+    )(init_cache)
     tokens = np.asarray(tokens)
     smiles = [
         detokenize(tokens[b, k])

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from singa_tpu.config import DecoderConfig, EncoderConfig, ModelConfig
+from singa_tpu.dtypes import compute_dtype
 from singa_tpu.equivariant.layers import Linear
 from singa_tpu.ops.knn import EdgeList, knn_graph
 from singa_tpu.ops.laplacian import laplacian_edges
@@ -54,7 +55,10 @@ class GroupedLinear(nn.Module):
             lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
             (h, c_in, c_out),
         )
-        return jnp.einsum("nhc,hco->nho", x.reshape(n, h, c_in), w.astype(x.dtype))
+        dt = compute_dtype()
+        return jnp.einsum(
+            "nhc,hco->nho", x.reshape(n, h, c_in).astype(dt), w.astype(dt)
+        )
 
 
 class EdgeMLP(nn.Module):
@@ -116,19 +120,25 @@ class GraphMHA(nn.Module):
 
 
 class DenseMHA(nn.Module):
-    """Standard dense attention with residual + post-LN (CProMG.py:81-158)."""
+    """Standard dense attention with residual + post-LN (CProMG.py:81-158).
+
+    ``decode=True`` enables incremental decoding with a flax 'cache'
+    collection: the query is one new position; keys/values accumulate in a
+    fixed-size ring written at ``cache_index`` — the KV-cache path the
+    reference lacks (BeamSearch.py re-runs the full decoder per token)."""
 
     hidden_channels: int
     key_channels: int
     num_heads: int
+    max_decode_len: int = 0  # cache capacity when decode=True
 
     @nn.compact
     def __call__(
         self,
         q: jax.Array,  # [B, Tq, C]
         kv: jax.Array,  # [B, Tk, C]
-        mask: jax.Array,  # [B, Tq, Tk] bool, True = blocked
-        cache: Optional[dict] = None,
+        mask: Optional[jax.Array],  # [B, Tq, Tk] bool, True = blocked
+        decode: bool = False,
     ) -> jax.Array:
         B, Tq, C = q.shape
         H = self.num_heads
@@ -139,13 +149,31 @@ class DenseMHA(nn.Module):
         qs = Linear(self.key_channels, name="W_Q")(q).reshape(B, Tq, H, kd)
         ks = Linear(self.key_channels, name="W_K")(kv).reshape(B, -1, H, kd)
         vs = Linear(self.hidden_channels, name="W_V")(kv).reshape(B, -1, H, vd)
-        if cache is not None:
-            ks = jnp.concatenate([cache["k"], ks], axis=1)
-            vs = jnp.concatenate([cache["v"], vs], axis=1)
-            cache["k"], cache["v"] = ks, vs
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qs, ks) / np.sqrt(kd)
-        scores = jnp.where(mask[:, None, :, :], -1e9, scores)
+        if decode:
+            T = self.max_decode_len
+            assert T > 0, "max_decode_len required for decode mode"
+            ck = self.variable(
+                "cache", "cached_key", jnp.zeros, (B, T, H, kd), ks.dtype
+            )
+            cv = self.variable(
+                "cache", "cached_value", jnp.zeros, (B, T, H, vd), vs.dtype
+            )
+            ci = self.variable(
+                "cache", "cache_index", lambda: jnp.zeros((), jnp.int32)
+            )
+            idx = ci.value
+            ck.value = jax.lax.dynamic_update_slice(ck.value, ks, (0, idx, 0, 0))
+            cv.value = jax.lax.dynamic_update_slice(cv.value, vs, (0, idx, 0, 0))
+            ci.value = idx + ks.shape[1]
+            ks, vs = ck.value, cv.value
+            scores = jnp.einsum("bqhd,bkhd->bhqk", qs, ks) / np.sqrt(kd)
+            valid = jnp.arange(T) < (idx + qs.shape[1])
+            scores = jnp.where(valid[None, None, None, :], scores, -1e9)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", qs, ks) / np.sqrt(kd)
+            if mask is not None:
+                scores = jnp.where(mask[:, None, :, :], -1e9, scores)
         attn = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vs).reshape(B, Tq, -1)
         out = Linear(self.hidden_channels, name="linear")(ctx)
@@ -284,27 +312,49 @@ class Encoder2(nn.Module):
 class DecoderLayer(nn.Module):
     cfg: DecoderConfig
 
-    @nn.compact
-    def __call__(self, x, enc, self_mask, cross_mask, cache: Optional[dict] = None):
-        x = DenseMHA(
+    def setup(self):
+        self.dec_self_attn = DenseMHA(
             self.cfg.hidden_channels, self.cfg.key_channels, self.cfg.num_heads,
-            name="dec_self_attn",
-        )(x, x, self_mask, cache=cache)
-        x = DenseMHA(
-            self.cfg.hidden_channels, self.cfg.key_channels, self.cfg.num_heads,
-            name="dec_enc_attn",
-        )(x, enc, cross_mask)
-        return PositionwiseFFN(self.cfg.hidden_channels, self.cfg.ffn_hidden, name="pos_ffn")(x)
+            max_decode_len=self.cfg.tgt_len + 1,
+        )
+        self.dec_enc_attn = DenseMHA(
+            self.cfg.hidden_channels, self.cfg.key_channels, self.cfg.num_heads
+        )
+        self.pos_ffn = PositionwiseFFN(self.cfg.hidden_channels, self.cfg.ffn_hidden)
+
+    def __call__(self, x, enc, self_mask, cross_mask, decode: bool = False):
+        x = self.dec_self_attn(x, x, self_mask, decode=decode)
+        x = self.dec_enc_attn(x, enc, cross_mask)
+        return self.pos_ffn(x)
 
 
 class Decoder(nn.Module):
-    """Property-prefixed causal SMILES decoder (CProMG.py:371-423)."""
+    """Property-prefixed causal SMILES decoder (CProMG.py:371-423).
+
+    Supports teacher-forced full sequences (``__call__``) and incremental
+    KV-cached decoding (``prime`` + ``decode_token``)."""
 
     cfg: DecoderConfig
     num_props: int
     pad_token: int
 
-    @nn.compact
+    def setup(self):
+        C = self.cfg.hidden_channels
+        self.mol_emb = nn.Embed(
+            self.cfg.vocab_size, C, dtype=compute_dtype(),
+            embedding_init=nn.initializers.normal(1.0),
+        )
+        self.type_emb = nn.Embed(
+            2, C, dtype=compute_dtype(),
+            embedding_init=nn.initializers.normal(1.0),
+        )
+        if self.num_props:
+            self.prop_nn = Linear(C)
+        self.layers = [
+            DecoderLayer(self.cfg, name=f"layer_{i}")
+            for i in range(self.cfg.num_interactions)
+        ]
+
     def __call__(
         self,
         tokens: jax.Array,  # [B, T]
@@ -314,14 +364,13 @@ class Decoder(nn.Module):
     ) -> jax.Array:
         B, T = tokens.shape
         C = self.cfg.hidden_channels
-        x = nn.Embed(self.cfg.vocab_size, C, embedding_init=nn.initializers.normal(1.0), name="mol_emb")(tokens)
+        x = self.mol_emb(tokens)
         x = x + sinusoidal_pe(T, C, x.dtype)[None]
 
-        type_emb = nn.Embed(2, C, embedding_init=nn.initializers.normal(1.0), name="type_emb")
         if self.num_props:
-            x = x + type_emb(jnp.ones((B, T), jnp.int32))
-            p = Linear(C, name="prop_nn")(prop.astype(x.dtype))[:, None, :]
-            p = p + type_emb(jnp.zeros((B, 1), jnp.int32))
+            x = x + self.type_emb(jnp.ones((B, T), jnp.int32))
+            p = self.prop_nn(prop.astype(x.dtype))[:, None, :]
+            p = p + self.type_emb(jnp.zeros((B, 1), jnp.int32))
             x = jnp.concatenate([p, x], axis=1)
             # the property slot is never a pad key
             key_is_pad = jnp.concatenate(
@@ -335,8 +384,38 @@ class Decoder(nn.Module):
         self_mask = causal[None] | key_is_pad[:, None, :]
         cross_mask = jnp.broadcast_to(enc_pad_mask, (B, Tp, enc_pad_mask.shape[-1]))
 
-        for i in range(self.cfg.num_interactions):
-            x = DecoderLayer(self.cfg, name=f"layer_{i}")(x, enc, self_mask, cross_mask)
+        for layer in self.layers:
+            x = layer(x, enc, self_mask, cross_mask)
+        return x
+
+    def prime(self, enc, enc_pad_mask, prop):
+        """Initialise the KV cache with the property-prefix position."""
+        B = enc.shape[0]
+        if self.num_props:
+            p = self.prop_nn(prop.astype(enc.dtype))[:, None, :]
+            p = p + self.type_emb(jnp.zeros((B, 1), jnp.int32))
+            x = p
+        else:
+            # no prefix: nothing to prime; write nothing by passing zero-length
+            x = jnp.zeros((B, 0, self.cfg.hidden_channels), enc.dtype)
+            return x
+        cross_mask = jnp.broadcast_to(enc_pad_mask, (B, 1, enc_pad_mask.shape[-1]))
+        for layer in self.layers:
+            x = layer(x, enc, None, cross_mask, decode=True)
+        return x
+
+    def decode_token(self, token, pos, enc, enc_pad_mask):
+        """One decode step: ``token [B, 1]`` at sequence position ``pos``."""
+        B = token.shape[0]
+        C = self.cfg.hidden_channels
+        pe = sinusoidal_pe(self.cfg.tgt_len, C)
+        x = self.mol_emb(token)
+        x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=0)[None].astype(x.dtype)
+        if self.num_props:
+            x = x + self.type_emb(jnp.ones((B, 1), jnp.int32))
+        cross_mask = jnp.broadcast_to(enc_pad_mask, (B, 1, enc_pad_mask.shape[-1]))
+        for layer in self.layers:
+            x = layer(x, enc, None, cross_mask, decode=True)
         return x
 
 
@@ -362,6 +441,14 @@ class CProMGTransformer(nn.Module):
         if self.cfg.num_props:
             logits = logits[:, 1:, :]
         return logits
+
+    def prime_cache(self, enc, enc_pad_mask, prop):
+        return self.decoder.prime(enc, enc_pad_mask, prop)
+
+    def decode_token(self, token, pos, enc, enc_pad_mask):
+        """KV-cached single-token decode -> next-token logits [B, V]."""
+        dec = self.decoder.decode_token(token, pos, enc, enc_pad_mask)
+        return self.projection(dec)[:, 0, :]
 
     def __call__(
         self,

@@ -89,6 +89,14 @@ class SINGA(nn.Module):
         """Full-prefix decode (generation fallback; cached path in generate/beam)."""
         return self.model.decode(tokens, enc, enc_pad_mask, prop)
 
+    def prime_cache(self, enc, enc_pad_mask, prop):
+        """Initialise the decoder KV cache with the property prefix."""
+        return self.model.prime_cache(enc, enc_pad_mask, prop)
+
+    def decode_token(self, token, pos, enc, enc_pad_mask):
+        """KV-cached one-token decode -> next-token logits [B, V]."""
+        return self.model.decode_token(token, pos, enc, enc_pad_mask)
+
 
 def cross_entropy_loss(
     logits: jax.Array,  # [B, T, V]

@@ -49,34 +49,45 @@ def sample_sequences(
     max_length: int,
     temperature: float = 1.0,
 ):
-    """Autoregressive categorical sampling; returns (tokens [B, T], logp [B, T]).
+    """KV-cached autoregressive categorical sampling.
 
-    Positions after the sampled EOS are PAD with logp contribution zero.
+    Returns (tokens [B, T], logp [B, T]); positions after the sampled EOS are
+    PAD with zero log-prob contribution.
     """
     B = enc.shape[0]
     T = max_length
 
+    _, variables = model.apply(
+        g_params, enc, enc_pad, prop, method="prime_cache", mutable=["cache"]
+    )
+    cache0 = variables["cache"]
     tokens0 = jnp.full((B, T), PAD_TOKEN, jnp.int32).at[:, 0].set(SOS_TOKEN)
 
     def step(carry, t):
-        tokens, finished, key = carry
-        logits = model.apply(
-            g_params, tokens, enc, enc_pad, prop, method="decode_step"
-        )  # [B, T, V]
-        step_logits = jax.lax.dynamic_slice_in_dim(logits, t - 1, 1, axis=1)[:, 0]
+        tokens, finished, key, cache, prev = carry
+        logits, vars_ = model.apply(
+            {**g_params, "cache": cache},
+            prev,
+            t - 1,
+            enc,
+            enc_pad,
+            method="decode_token",
+            mutable=["cache"],
+        )  # [B, V]
+        cache = vars_["cache"]
         key, sub = jax.random.split(key)
-        nxt = jax.random.categorical(sub, step_logits / temperature, axis=-1)
-        logp_all = jax.nn.log_softmax(step_logits, axis=-1)
+        nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        logp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = jnp.take_along_axis(logp_all, nxt[:, None], axis=-1)[:, 0]
         nxt = jnp.where(finished, PAD_TOKEN, nxt.astype(jnp.int32))
         logp = jnp.where(finished, 0.0, logp)
         tokens = tokens.at[:, t].set(nxt)
         finished = finished | (nxt == EOS_TOKEN)
-        return (tokens, finished, key), logp
+        return (tokens, finished, key, cache, nxt[:, None]), logp
 
-    (tokens, _, _), logps = jax.lax.scan(
+    (tokens, _, _, _, _), logps = jax.lax.scan(
         step,
-        (tokens0, jnp.zeros((B,), bool), key),
+        (tokens0, jnp.zeros((B,), bool), key, cache0, tokens0[:, :1]),
         jnp.arange(1, T),
     )
     logp_seq = jnp.concatenate([jnp.zeros((B, 1)), logps.T], axis=1)  # [B, T]

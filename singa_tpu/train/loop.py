@@ -25,6 +25,7 @@ import numpy as np
 import optax
 
 from singa_tpu.config import Config, load_config
+from singa_tpu.dtypes import set_compute_dtype
 from singa_tpu.data.batch import ComplexBatch
 from singa_tpu.data.dataset import NpzDataset, SyntheticDataset
 from singa_tpu.models.singa import SINGA, cross_entropy_loss
@@ -78,6 +79,7 @@ class Trainer:
     ):
         self.config = config
         self.logdir = logdir
+        set_compute_dtype(config.train.compute_dtype)
         self.model = SINGA(config)
         self.optimizer = make_optimizer(config.train.optimizer)
         self.mesh = make_mesh(config.parallel, devices) if use_mesh else None

@@ -1,0 +1,59 @@
+import jax
+import numpy as np
+import pytest
+
+from singa_tpu.data.batch import synthetic_batch
+from singa_tpu.models.singa import SINGA
+from singa_tpu.train.gan import GANTrainer, sample_sequences
+
+from tests.test_model import TGT_LEN, tiny_config
+
+
+@pytest.fixture(scope="module")
+def gan_setup():
+    cfg = tiny_config()
+    batch = synthetic_batch(0, batch_size=2, shapes=cfg.shapes, tgt_len=TGT_LEN)
+    model = SINGA(cfg)
+    g_params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    trainer = GANTrainer(cfg)
+    state = trainer.init(jax.random.PRNGKey(1), g_params, batch)
+    return cfg, batch, trainer, state
+
+
+def test_sampling_produces_valid_sequences(gan_setup):
+    from singa_tpu.config import EOS_TOKEN, PAD_TOKEN, SOS_TOKEN
+
+    cfg, batch, trainer, state = gan_setup
+    enc, pad, prop = trainer._encode(state.g_params, batch)
+    tokens, logp = jax.jit(
+        lambda k: sample_sequences(
+            trainer.model, state.g_params, enc, pad, prop, k, TGT_LEN
+        )
+    )(jax.random.PRNGKey(2))
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (2, TGT_LEN)
+    assert (tokens[:, 0] == SOS_TOKEN).all()
+    # after EOS everything is PAD
+    for row in tokens:
+        eos = np.nonzero(row == EOS_TOKEN)[0]
+        if len(eos):
+            assert (row[eos[0] + 1 :] == PAD_TOKEN).all()
+    lp = np.asarray(logp)
+    assert (lp <= 0).all()
+    # PAD positions contribute zero log-prob
+    assert lp[tokens == PAD_TOKEN].sum() == 0.0
+
+
+def test_adversarial_round_updates_both(gan_setup):
+    cfg, batch, trainer, state = gan_setup
+    d0 = jax.tree_util.tree_leaves(state.d_params)[0].copy()
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    state2, metrics = trainer.train_round(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(metrics["gan/d_loss"])
+    assert np.isfinite(metrics["gan/g_loss"])
+    assert 0.0 <= metrics["gan/reward"] <= 2.0
+    d1 = jax.tree_util.tree_leaves(state2.d_params)[0]
+    g1 = jax.tree_util.tree_leaves(state2.g_params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    # generator update may be tiny but parameters should change
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))

@@ -24,12 +24,12 @@ def test_beam_search_greedy_matches_argmax():
     best = 7
     logits_table[best] = 5.0
 
-    def decode_fn(tokens, cur_len):
+    def decode_fn(tokens, cur_len, cache):
         # prefer `best` until length 5, then prefer EOS
         base = jnp.asarray(logits_table)
         eos_pref = jnp.full((V,), -5.0).at[EOS_TOKEN % V].set(10.0)
         out = jnp.where(cur_len < 5, base, eos_pref)
-        return jnp.broadcast_to(out, (tokens.shape[0], V))
+        return jnp.broadcast_to(out, (tokens.shape[0], V)), cache
 
     tokens, scores = beam_search(
         decode_fn,
@@ -53,8 +53,8 @@ def test_beam_search_scores_sorted():
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
 
-    def decode_fn(tokens, cur_len):
-        return jnp.broadcast_to(table, (tokens.shape[0], V))
+    def decode_fn(tokens, cur_len, cache):
+        return jnp.broadcast_to(table, (tokens.shape[0], V)), cache
 
     tokens, scores = beam_search(
         decode_fn, batch_size=1, num_beams=4, max_length=6, eos_token=1, topk=4
@@ -122,4 +122,47 @@ def test_npz_dataset_roundtrip(tmp_path):
     ref = synthetic_batch(0, 1, shapes=cfg.shapes, tgt_len=TGT_LEN)
     np.testing.assert_allclose(
         np.asarray(batches[0].protein.x[0]), np.asarray(ref.protein.x[0])
+    )
+
+
+def test_kv_cache_matches_full_decode():
+    """Incremental cached decoding must reproduce full-prefix logits."""
+    import jax.numpy as jnp
+    from singa_tpu.models.singa import SINGA
+
+    cfg = tiny_config()
+    batch = synthetic_batch(5, batch_size=2, shapes=cfg.shapes, tgt_len=TGT_LEN)
+    model = SINGA(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    enc, pad = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))(
+        params, batch
+    )
+    prop = jnp.ones((2, 3), jnp.float32)
+
+    tokens = batch.tokens.input
+    full = jax.jit(
+        lambda p: model.apply(p, tokens, enc, pad, prop, method="decode_step")
+    )(params)  # [B, T, V]
+
+    _, variables = model.apply(
+        params, enc, pad, prop, method="prime_cache", mutable=["cache"]
+    )
+    cache = variables["cache"]
+
+    def step(cache, t):
+        logits, vars_ = model.apply(
+            {**params, "cache": cache},
+            jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=1),
+            t,
+            enc,
+            pad,
+            method="decode_token",
+            mutable=["cache"],
+        )
+        return vars_["cache"], logits
+
+    cache, inc = jax.lax.scan(step, cache, jnp.arange(8))
+    inc = jnp.transpose(inc, (1, 0, 2))  # [B, 8, V]
+    np.testing.assert_allclose(
+        np.asarray(inc), np.asarray(full[:, :8, :]), atol=2e-3, rtol=1e-3
     )

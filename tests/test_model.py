@@ -10,6 +10,7 @@ from singa_tpu.config import (
     EncoderConfig,
     ModelConfig,
     ShapeConfig,
+    TrainConfig,
 )
 from singa_tpu.data.batch import synthetic_batch
 from singa_tpu.equivariant import so3
@@ -62,6 +63,7 @@ def tiny_config(lmax=2, mmax=1):
             num_lp_edges=12,
             num_pl_edges=12,
         ),
+        train=TrainConfig(compute_dtype="float32"),
     )
 
 
