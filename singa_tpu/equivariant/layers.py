@@ -197,12 +197,81 @@ class EquivariantLayerNorm(nn.Module):
         return jnp.concatenate(outs, axis=1)
 
 
+class EquivariantLayerNormSH(nn.Module):
+    """'layer_norm_sh' — EquivariantLayerNormArraySphericalHarmonics
+    (EF_layers.py:1935-2030): LayerNorm on l=0, one degree-balanced scale for
+    all l>0 with per-degree affine weight."""
+
+    lmax: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        C = x.shape[-1]
+        out0 = nn.LayerNorm(epsilon=self.eps, name="norm_l0")(x[:, :1, :])
+        if self.lmax == 0:
+            return out0.astype(in_dtype)
+        weight = self.param("weight", nn.initializers.ones, (self.lmax, C))
+        vec = x[:, 1:, :]
+        bal = np.concatenate(
+            [np.full(2 * l + 1, 1.0 / ((2 * l + 1) * self.lmax)) for l in range(1, self.lmax + 1)]
+        )
+        norm = jnp.einsum("nic,i->nc", vec * vec, jnp.asarray(bal, x.dtype))
+        norm = jnp.mean(norm, axis=-1)[:, None, None]
+        inv = jax.lax.rsqrt(norm + self.eps)
+        l_of = np.concatenate(
+            [np.full(2 * l + 1, l - 1, np.int32) for l in range(1, self.lmax + 1)]
+        )
+        w = jnp.take(weight, l_of, axis=0)
+        out = jnp.concatenate([out0, vec * inv * w[None]], axis=1)
+        return out.astype(in_dtype)
+
+
 def get_norm_layer(norm_type: str, lmax: int) -> nn.Module:
     if norm_type == "rms_norm_sh":
         return EquivariantRMSNorm(lmax=lmax)
     if norm_type == "layer_norm":
         return EquivariantLayerNorm(lmax=lmax)
+    if norm_type == "layer_norm_sh":
+        return EquivariantLayerNormSH(lmax=lmax)
     raise ValueError(norm_type)
+
+
+class GraphDropPath(nn.Module):
+    """Per-graph stochastic depth (EF_layers.py:1568-1591): drops whole
+    residual branches for random graphs in the batch."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, graph_ids: jax.Array, num_graphs: int, deterministic: bool = True) -> jax.Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        keep = jax.random.bernoulli(rng, 1.0 - self.rate, (num_graphs,))
+        scale = keep.astype(x.dtype) / (1.0 - self.rate)
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        return x * scale[graph_ids].reshape(shape)
+
+
+class EquivariantDropout(nn.Module):
+    """Channel-wise dropout shared across coefficients of a feature
+    (EF_layers.py:1597-1628) — preserves equivariance by dropping whole
+    channels, never individual m components."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        keep = jax.random.bernoulli(
+            rng, 1.0 - self.rate, (x.shape[0], 1, x.shape[2])
+        )
+        return x * keep.astype(x.dtype) / (1.0 - self.rate)
 
 
 def gate_activation(

@@ -233,26 +233,28 @@ class EncoderLayer(nn.Module):
 
 
 class Encoder(nn.Module):
-    """Pocket-atom encoder (CProMG.py:276-309)."""
+    """Pocket-atom encoder (CProMG.py:276-309), dense-attention form
+    (singa_tpu/models/dense_graph.py)."""
 
     cfg: EncoderConfig
     feature_dim: int
 
     @nn.compact
     def __call__(self, feat, pos, mask, lap_pe):
+        from singa_tpu.models.dense_graph import DenseEncoderLayer, build_dense_graph
+
         B, N, _ = feat.shape
         x = Linear(self.cfg.hidden_channels, name="protein_atom_emb")(feat)
         x = x + Linear(self.cfg.hidden_channels, name="laplacian_emb")(lap_pe)
-        x = x.reshape(B * N, -1)
-        edges, edge_attr = _build_graph(
+        g = build_dense_graph(
             pos, mask, self.cfg.knn, self.cfg.smear_stop, self.cfg.edge_channels
         )
-        layer_cls = nn.remat(EncoderLayer)
+        layer_cls = nn.remat(DenseEncoderLayer, static_argnums=())
         msa_outputs = []
         for i in range(self.cfg.num_interactions):
-            msa, x = layer_cls(self.cfg, name=f"layer_{i}")(x, edges, edge_attr)
-            msa_outputs.append(msa.reshape(B, N, -1))
-        out = x.reshape(B, N, -1) * mask[..., None]
+            msa, x = layer_cls(self.cfg, self.cfg.smear_stop, name=f"layer_{i}")(x, g)
+            msa_outputs.append(msa)
+        out = x * mask[..., None]
         pad_mask = ~mask[:, None, :]  # [B, 1, N], True = blocked
         return out, pad_mask, msa_outputs
 
@@ -287,25 +289,49 @@ class EncoderLayer2(nn.Module):
 class Encoder2(nn.Module):
     """Second encoder with cross-attention into encoder-1 MSA outputs at
     layers 2 and 5 (CProMG.py:313-343; during training it consumes the
-    *ligand* equivariant features, GAN.py:74-77)."""
+    *ligand* equivariant features, GAN.py:74-77). Dense-attention form."""
 
     cfg: EncoderConfig
     feature_dim: int
 
     @nn.compact
     def __call__(self, feat, pos, mask, lap_pe, atom_pad_mask, atom_msa_outputs):
+        from singa_tpu.models.dense_graph import DenseGraphMHA, build_dense_graph
+
         B, N, _ = feat.shape
         x = Linear(self.cfg.hidden_channels, name="aa_emb")(feat)
         x = x + Linear(self.cfg.hidden_channels, name="laplacian_emb")(lap_pe)
-        x = x.reshape(B * N, -1)
-        edges, edge_attr = _build_graph(
+        g = build_dense_graph(
             pos, mask, self.cfg.knn_aa, self.cfg.smear_stop_aa, self.cfg.edge_channels
         )
         for i in range(self.cfg.num_interactions):
-            x = EncoderLayer2(self.cfg, cross_here=(i in (2, 5)), name=f"layer_{i}")(
-                x, edges, edge_attr, B, N, atom_msa_outputs[i], atom_pad_mask, mask
-            )
-        out = x.reshape(B, N, -1) * mask[..., None]
+            msa = DenseGraphMHA(
+                self.cfg.hidden_channels,
+                self.cfg.key_channels,
+                self.cfg.num_heads,
+                self.cfg.edge_channels,
+                self.cfg.smear_stop_aa,
+                name=f"layer_{i}_attn",
+            )(x, g)
+            if i in (2, 5):
+                proj = Linear(self.cfg.hidden_channels, name=f"layer_{i}_proj")(
+                    atom_msa_outputs[i]
+                )
+                cross_mask = jnp.broadcast_to(
+                    atom_pad_mask, (B, N, atom_pad_mask.shape[-1])
+                )
+                cross = DenseMHA(
+                    self.cfg.hidden_channels,
+                    self.cfg.key_channels,
+                    self.cfg.num_heads,
+                    name=f"layer_{i}_cross",
+                )(msa, proj, cross_mask)
+                cross = cross * mask[..., None]
+                msa = nn.LayerNorm(name=f"layer_{i}_norm")(msa + cross)
+            x = PositionwiseFFN(
+                self.cfg.hidden_channels, self.cfg.ffn_hidden, name=f"layer_{i}_ffn"
+            )(msa)
+        out = x * mask[..., None]
         return out, ~mask[:, None, :]
 
 

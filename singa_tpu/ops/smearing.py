@@ -41,3 +41,30 @@ class GaussianSmearing:
         return gaussian_smearing(
             dist, self.start, self.stop, self.num_gaussians, self.basis_width_scalar
         )
+
+
+def sigmoid_smearing(
+    dist: jax.Array,
+    start: float = -5.0,
+    stop: float = 5.0,
+    num_sigmoid: int = 50,
+    basis_width_scalar: float = 1.0,
+) -> jax.Array:
+    """Sigmoid basis (reference EF_layers.py:1797-1814)."""
+    offset = jnp.linspace(start, stop, num_sigmoid, dtype=dist.dtype)
+    coeff = basis_width_scalar / ((stop - start) / (num_sigmoid - 1))
+    return jax.nn.sigmoid(coeff * (dist[..., None] - offset))
+
+
+def linear_sigmoid_smearing(
+    dist: jax.Array,
+    start: float = -5.0,
+    stop: float = 5.0,
+    num_sigmoid: int = 50,
+    basis_width_scalar: float = 1.0,
+) -> jax.Array:
+    """Sigmoid + linear leak basis (reference EF_layers.py:1817-1836)."""
+    offset = jnp.linspace(start, stop, num_sigmoid, dtype=dist.dtype)
+    coeff = basis_width_scalar / ((stop - start) / (num_sigmoid - 1))
+    x = coeff * (dist[..., None] - offset)
+    return jax.nn.sigmoid(x) + 0.001 * x

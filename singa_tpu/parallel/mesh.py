@@ -35,10 +35,16 @@ def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, data_axis: str = "data") -> Any:
-    spec = batch_sharding(mesh, data_axis)
+    """Shard the batch dimension over ``data``; arrays whose leading dim does
+    not divide the mesh axis are replicated instead (e.g. tiny debug batches)."""
+    n = mesh.shape[data_axis]
 
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1)))))
+        if x.ndim >= 1 and x.shape[0] % n == 0:
+            spec = P(data_axis, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, batch)
 

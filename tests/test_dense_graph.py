@@ -1,0 +1,74 @@
+"""Parity: DenseGraphMHA must reproduce the flat segment-op GraphMHA exactly
+(same kNN-closure + Laplacian graph, parameters copied across)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singa_tpu.models.cpromg import GraphMHA, _build_graph
+from singa_tpu.models.dense_graph import DenseGraphMHA, build_dense_graph
+
+B, N, C, H = 2, 12, 16, 2
+KD = 8  # key_channels=16 -> kd per head 8
+K = 4
+SMEAR_STOP = 15.0
+EDGE_CH = 8
+
+
+def _setup():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 3)
+    mask = jnp.asarray(rng.random((B, N)) > 0.2)
+
+    dense = DenseGraphMHA(
+        hidden_channels=C, key_channels=16, num_heads=H,
+        edge_channels=EDGE_CH, smear_stop=SMEAR_STOP,
+    )
+    flat = GraphMHA(hidden_channels=C, key_channels=16, num_heads=H)
+
+    g = build_dense_graph(pos, mask, K, SMEAR_STOP, EDGE_CH)
+    edges, edge_attr = _build_graph(pos, mask, K, SMEAR_STOP, EDGE_CH)
+
+    dp = dense.init(jax.random.PRNGKey(1), x, g)
+    x_flat = x.reshape(B * N, C)
+    fp = flat.init(jax.random.PRNGKey(2), x_flat, edges, edge_attr)
+    return x, pos, mask, dense, flat, g, edges, edge_attr, dp, fp
+
+
+def _sync_params(dp, fp):
+    """Copy flat-module params into the dense module's structure."""
+    d = jax.tree_util.tree_map(lambda v: v, dp)  # copy
+    dd = d["params"]
+    ff = fp["params"]
+    dd["q_lin"] = ff["q_lin"]["weight"]
+    dd["k_lin"] = ff["k_lin"]["weight"]
+    dd["v_lin"] = ff["v_lin"]["weight"]
+    for name in ("weight_k_net", "weight_v_net", "centroid_lin", "out_transform"):
+        dd[name] = ff[name]
+    dd["weight_k_lin_kernel"] = ff["weight_k_lin"]["Dense_0"]["kernel"]
+    dd["weight_v_lin"] = ff["weight_v_lin"]
+    dd["layer_norm"] = ff["layer_norm"]
+    return d
+
+
+def test_dense_matches_flat():
+    x, pos, mask, dense, flat, g, edges, edge_attr, dp, fp = _setup()
+    dp = _sync_params(dp, fp)
+
+    out_dense = dense.apply(dp, x, g)  # [B, N, C]
+    out_flat = flat.apply(fp, x.reshape(B * N, C), edges, edge_attr)
+    out_flat = out_flat.reshape(B, N, C) * np.asarray(mask)[..., None]
+
+    np.testing.assert_allclose(
+        np.asarray(out_dense), np.asarray(out_flat), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_dense_padding_invariance():
+    x, pos, mask, dense, flat, g, edges, edge_attr, dp, fp = _setup()
+    out1 = np.asarray(dense.apply(dp, x, g))
+    # corrupt padded node features/positions
+    noise = jnp.asarray((~np.asarray(mask))[..., None] * 9.0)
+    g2 = build_dense_graph(pos + noise, mask, K, SMEAR_STOP, EDGE_CH)
+    out2 = np.asarray(dense.apply(dp, x + noise * 0.3, g2))
+    np.testing.assert_allclose(out1, out2, atol=1e-4)

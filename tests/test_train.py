@@ -55,7 +55,7 @@ def test_optimizer_lr_injection():
 @pytest.mark.slow
 def test_trainer_loss_decreases_and_resumes(tmp_path):
     cfg = tiny_config()
-    data = SyntheticDataset(2, cfg.shapes, TGT_LEN, seed=0, num_distinct=2)
+    data = SyntheticDataset(8, cfg.shapes, TGT_LEN, seed=0, num_distinct=2)
     logdir = str(tmp_path / "run")
 
     trainer = Trainer(cfg, logdir=logdir, use_mesh=True)
