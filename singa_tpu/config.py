@@ -58,6 +58,7 @@ class EmbeddingConfig:
     norm_type: str = "rms_norm_sh"
     basis_width_scalar: float = 20.0
     remat: bool = True
+    remat_policy: str = "full"  # 'full' recomputes everything; 'dots' saves matmuls
     avg_degree: float = 23.395238876342773  # reference Embedding.py:36
 
 

@@ -27,8 +27,7 @@ from singa_tpu.equivariant.layers import (
     separable_s2_activation,
     smooth_leaky_relu,
 )
-from singa_tpu.ops.knn import EdgeList
-from singa_tpu.ops.segment import segment_softmax, segment_sum
+from singa_tpu.ops.edge_matmul import MatmulEdges
 
 
 class EdgeDegreeEmbedding(nn.Module):
@@ -44,10 +43,9 @@ class EdgeDegreeEmbedding(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x_edge: jax.Array,  # [E, De]
-        edges: EdgeList,
-        wigner: list[jax.Array],
-        num_dst: int,
+        x_edge: jax.Array,  # [B*E, De]
+        edges: MatmulEdges,
+        wigner: jax.Array,
     ) -> jax.Array:
         mapping = so3.CoefficientMapping(self.lmax, self.mmax)
         n0 = mapping.m_size[0]
@@ -61,7 +59,7 @@ class EdgeDegreeEmbedding(nn.Module):
         )
         x = x.at[:, mapping.m0_trunc, :].set(rad)
         x = so3.rotate_inv(wigner, x, self.lmax, self.mmax)
-        out = segment_sum(x, edges.dst, num_dst, mask=edges.mask)
+        out = edges.scatter_dst(x)
         return out / self.rescale_factor
 
 
@@ -101,13 +99,12 @@ class GraphAttention(nn.Module):
         self,
         x_src: jax.Array,  # [N_src, coeffs, C]
         x_dst: jax.Array,  # [N_dst, coeffs, C]
-        x_edge: jax.Array,  # [E, De]
-        edges: EdgeList,
-        wigner: list[jax.Array],
+        x_edge: jax.Array,  # [B*E, De]
+        edges: MatmulEdges,
+        wigner: jax.Array,
     ) -> jax.Array:
-        num_dst = x_dst.shape[0]
-        xs = x_src[edges.src]
-        xt = x_dst[edges.dst]
+        xs = edges.gather_src(x_src)
+        xt = edges.gather_dst(x_dst)
         msg = jnp.concatenate([xs, xt], axis=-1)  # [E, coeffs, 2C]
         msg = so3.rotate(wigner, msg, self.lmax, self.mmax)
 
@@ -144,7 +141,7 @@ class GraphAttention(nn.Module):
             (self.num_heads, self.attn_alpha_channels),
         )
         alpha = jnp.einsum("ehk,hk->eh", x_alpha, alpha_dot.astype(x_alpha.dtype))
-        alpha = segment_softmax(alpha, edges.dst, num_dst, mask=edges.mask)
+        alpha = edges.softmax_dst(alpha)
 
         E, n_trunc, _ = msg.shape
         msg = msg.reshape(E, n_trunc, self.num_heads, self.attn_value_channels)
@@ -152,7 +149,7 @@ class GraphAttention(nn.Module):
         msg = msg.reshape(E, n_trunc, self.num_heads * self.attn_value_channels)
 
         msg = so3.rotate_inv(wigner, msg, self.lmax, self.mmax)
-        out = segment_sum(msg, edges.dst, num_dst, mask=edges.mask)
+        out = edges.scatter_dst(msg)
         return SO3Linear(self.output_channels, lmax=self.lmax, name="proj")(out)
 
 
@@ -178,8 +175,8 @@ class TransBlock(nn.Module):
         x_src: jax.Array,
         x_dst: jax.Array,
         x_edge: jax.Array,
-        edges: EdgeList,
-        wigner: list[jax.Array],
+        edges: MatmulEdges,
+        wigner: jax.Array,
     ) -> jax.Array:
         norm_1 = get_norm_layer(self.norm_type, self.lmax)
         xs = norm_1(x_src)

@@ -24,11 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from singa_tpu.config import EmbeddingConfig
-from singa_tpu.data.batch import ComplexBatch, flat_edges, flat_nodes
+from singa_tpu.data.batch import ComplexBatch, flat_nodes
 from singa_tpu.equivariant import so3
 from singa_tpu.equivariant.attention import EdgeDegreeEmbedding, TransBlock
 from singa_tpu.equivariant.layers import Embed, get_norm_layer
-from singa_tpu.ops.knn import EdgeList
+from singa_tpu.ops.edge_matmul import MatmulEdges
 from singa_tpu.ops.smearing import gaussian_smearing
 
 
@@ -61,7 +61,16 @@ class EquivariantEmbedding(nn.Module):
             edge_channels=edge_hidden,
             rescale_factor=cfg.avg_degree,
         )
-        block_cls = nn.remat(TransBlock) if self.config.remat else TransBlock
+        if self.config.remat:
+            import jax as _jax
+
+            policy = {
+                "full": None,
+                "dots": _jax.checkpoint_policies.checkpoint_dots,
+            }.get(self.config.remat_policy, None)
+            block_cls = nn.remat(TransBlock, policy=policy)
+        else:
+            block_cls = TransBlock
         self.blocks = [
             block_cls(
                 sphere_channels=cfg.sphere_channels,
@@ -86,17 +95,20 @@ class EquivariantEmbedding(nn.Module):
         pos_dst: jax.Array,
         z_src: jax.Array,
         z_dst: jax.Array,
-        edges: EdgeList,
+        edges: MatmulEdges,
     ):
         cfg = self.config
-        vec = pos_src[edges.src] - pos_dst[edges.dst]
+        vec = edges.gather_src(pos_src) - edges.gather_dst(pos_dst)
         dist = jnp.linalg.norm(vec, axis=-1)
         x_edge = gaussian_smearing(
             dist, 0.0, cfg.cutoff, cfg.edge_channels, cfg.basis_width_scalar
         )
-        src_emb = self.source_embedding(z_src[edges.src])
-        dst_emb = self.target_embedding(z_dst[edges.dst])
-        x_edge = jnp.concatenate([x_edge, src_emb, dst_emb], axis=-1)
+        # embed all nodes once, gather per edge (matmul)
+        src_emb = edges.gather_src(self.source_embedding(z_src))
+        dst_emb = edges.gather_dst(self.target_embedding(z_dst))
+        x_edge = jnp.concatenate(
+            [x_edge.astype(src_emb.dtype), src_emb, dst_emb], axis=-1
+        )
         wigner = so3.edge_wigner(vec, cfg.lmax, cfg.mmax, dtype=pos_src.dtype)
         return x_edge, wigner
 
@@ -109,48 +121,83 @@ class EquivariantEmbedding(nn.Module):
         )
         return out.at[:, 0, :].set(scal)
 
-    def _intra_pass(self, x, z, pos, edges: EdgeList, num_nodes: int):
+    def _intra_pass(self, x, z, pos, edges: MatmulEdges):
         x_edge, wigner = self._edge_scalars(pos, pos, z, z, edges)
         h = self._base_features(x, z)
-        h = h + self.edge_degree_embedding(x_edge, edges, wigner, num_nodes)
+        h = h + self.edge_degree_embedding(x_edge, edges, wigner)
         for block in self.blocks:
             h = block(h, h, x_edge, edges, wigner)
         return self.final_norm(h)
 
-    def _inter_pass(self, h_src, h_dst, z_src, z_dst, pos_src, pos_dst, edges, num_dst):
+    def _inter_pass(self, h_src, h_dst, z_src, z_dst, pos_src, pos_dst, edges):
         x_edge, wigner = self._edge_scalars(pos_src, pos_dst, z_src, z_dst, edges)
-        h = h_dst + self.edge_degree_embedding(x_edge, edges, wigner, num_dst)
+        h = h_dst + self.edge_degree_embedding(x_edge, edges, wigner)
         for block in self.blocks:
             h = block(h_src, h, x_edge, edges, wigner)
         return self.final_norm(h)
 
     def __call__(self, batch: ComplexBatch, gen_mode: bool = False) -> EmbeddingOutput:
+        """Runs the reference's four passes as two merged stages.
+
+        Protein-intra and ligand-intra are independent, as are the two
+        interaction directions, so each pair executes as one pass over a
+        combined [protein; ligand] node set with a block-diagonal /
+        cross-directional edge set — identical math (the shared TransBlocks
+        see the union of edges of the two passes), half the kernel launches
+        and double the tensor occupancy.
+        """
         B = batch.batch_size
         p = flat_nodes(batch.protein)
-        l = flat_nodes(batch.ligand)
-        np_tot = p.x.shape[0]
-        nl_tot = l.x.shape[0]
-
-        pp = flat_edges(batch.pp, batch.protein.x.shape[1], batch.protein.x.shape[1])
-        h_p = self._intra_pass(p.x, p.atomic_num, p.pos, pp, np_tot)
-        h_p = h_p * p.mask[:, None, None]
+        n_p = batch.protein.x.shape[1]
+        n_l = batch.ligand.x.shape[1]
 
         if gen_mode:
-            return EmbeddingOutput(protein=h_p, ligand=jnp.zeros((nl_tot,) + h_p.shape[1:], h_p.dtype))
+            pp = MatmulEdges.create(batch.pp.index, batch.pp.mask, n_p, n_p)
+            h_p = self._intra_pass(p.x, p.atomic_num, p.pos, pp)
+            h_p = h_p * p.mask[:, None, None]
+            nl_tot = B * n_l
+            return EmbeddingOutput(
+                protein=h_p, ligand=jnp.zeros((nl_tot,) + h_p.shape[1:], h_p.dtype)
+            )
 
-        ll = flat_edges(batch.ll, batch.ligand.x.shape[1], batch.ligand.x.shape[1])
-        h_l = self._intra_pass(l.x, l.atomic_num, l.pos, ll, nl_tot)
-        h_l = h_l * l.mask[:, None, None]
-
-        lp = flat_edges(batch.lp, batch.ligand.x.shape[1], batch.protein.x.shape[1])
-        h_lp = self._inter_pass(
-            h_l, h_p, l.atomic_num, p.atomic_num, l.pos, p.pos, lp, np_tot
+        n_c = n_p + n_l
+        # combined per-graph node set: [protein(0..n_p); ligand(n_p..n_c)]
+        cx = jnp.concatenate([batch.protein.x, batch.ligand.x], axis=1).reshape(
+            B * n_c, -1
         )
-        pl = flat_edges(batch.pl, batch.protein.x.shape[1], batch.ligand.x.shape[1])
-        h_pl = self._inter_pass(
-            h_p, h_l, p.atomic_num, l.atomic_num, p.pos, l.pos, pl, nl_tot
+        cpos = jnp.concatenate([batch.protein.pos, batch.ligand.pos], axis=1).reshape(
+            B * n_c, 3
+        )
+        cz = jnp.concatenate(
+            [batch.protein.atomic_num, batch.ligand.atomic_num], axis=1
+        ).reshape(B * n_c)
+        cmask = jnp.concatenate([batch.protein.mask, batch.ligand.mask], axis=1).reshape(
+            B * n_c
         )
 
-        h_p = (h_p + h_lp) * p.mask[:, None, None]
-        h_l = (h_l + h_pl) * l.mask[:, None, None]
+        # stage 1: both intra edge sets, block-diagonal
+        intra_idx = jnp.concatenate(
+            [batch.pp.index, batch.ll.index + n_p], axis=1
+        )
+        intra_mask = jnp.concatenate([batch.pp.mask, batch.ll.mask], axis=1)
+        intra = MatmulEdges.create(intra_idx, intra_mask, n_c, n_c)
+        h = self._intra_pass(cx, cz, cpos, intra)
+        h = h * cmask[:, None, None]
+
+        # stage 2: both interaction directions (l->p and p->l)
+        lp_idx = jnp.stack(
+            [batch.lp.index[..., 0] + n_p, batch.lp.index[..., 1]], axis=-1
+        )
+        pl_idx = jnp.stack(
+            [batch.pl.index[..., 0], batch.pl.index[..., 1] + n_p], axis=-1
+        )
+        inter_idx = jnp.concatenate([lp_idx, pl_idx], axis=1)
+        inter_mask = jnp.concatenate([batch.lp.mask, batch.pl.mask], axis=1)
+        inter = MatmulEdges.create(inter_idx, inter_mask, n_c, n_c)
+        h_inter = self._inter_pass(h, h, cz, cz, cpos, cpos, inter)
+
+        h_out = (h + h_inter) * cmask[:, None, None]
+        hb = h_out.reshape(B, n_c, *h_out.shape[1:])
+        h_p = hb[:, :n_p].reshape(B * n_p, *h_out.shape[1:])
+        h_l = hb[:, n_p:].reshape(B * n_l, *h_out.shape[1:])
         return EmbeddingOutput(protein=h_p, ligand=h_l)

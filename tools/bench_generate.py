@@ -1,0 +1,83 @@
+"""Benchmark: beam-search generation throughput (molecules/sec).
+
+BASELINE.json configs[4]: beam-20 decode over pockets. Uses the KV-cached
+on-device beam search. Prints one JSON line.
+
+Run: python tools/bench_generate.py [batch_size] [num_beams]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    from singa_tpu.config import Config
+    from singa_tpu.data.batch import synthetic_batch
+    from singa_tpu.dtypes import set_compute_dtype
+    from singa_tpu.generate.beam import beam_search, make_cached_decode_fn
+    from singa_tpu.models.singa import SINGA
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    beams = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    cfg = Config()
+    set_compute_dtype(cfg.train.compute_dtype)
+    batch = synthetic_batch(0, batch_size=B, shapes=cfg.shapes, tgt_len=cfg.model.decoder.tgt_len)
+    model = SINGA(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    enc, pad = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))(params, batch)
+    prop = jnp.ones((B, 3), jnp.float32)
+    decode_fn, cache = make_cached_decode_fn(model, params, enc, pad, prop, beams)
+
+    run = jax.jit(
+        lambda c: beam_search(
+            decode_fn,
+            batch_size=B,
+            num_beams=beams,
+            max_length=cfg.generate.max_length,
+            length_penalty=cfg.generate.length_penalty,
+            topk=1,
+            init_cache=c,
+        )
+    )
+
+    t0 = time.time()
+    tokens, scores = run(cache)
+    jax.block_until_ready(tokens)
+    print(f"compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        tokens, scores = run(cache)
+    jax.block_until_ready(tokens)
+    dt = (time.time() - t0) / iters
+    mps = B / dt
+    print(f"{dt*1000:.0f} ms/batch ({mps:.2f} molecules/s, beam {beams})", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "beam_decode_molecules_per_sec",
+                "value": round(mps, 3),
+                "unit": "molecules/s",
+                "num_beams": beams,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
