@@ -291,8 +291,20 @@ def gate_activation(
 
 
 def s2_activation(x: jax.Array, lmax: int, mmax: int) -> jax.Array:
-    """Pointwise SiLU on the sphere grid (EF_layers.py:1736-1754)."""
+    """Pointwise SiLU on the sphere grid (EF_layers.py:1736-1754).
+
+    With SINGA_TPU_PALLAS=1 on TPU this runs as a fused Pallas kernel that
+    keeps the [N, G, C] grid tensor in VMEM (singa_tpu/ops/pallas/s2_act.py).
+    Default is the XLA einsum pair: the current axon remote-compile path
+    stalls on Mosaic kernels inside large programs, so the kernel is opt-in
+    until that is resolved (parity is covered by tests either way)."""
+    import os
+
     grid = get_grid(lmax, mmax)
+    if jax.default_backend() == "tpu" and os.environ.get("SINGA_TPU_PALLAS"):
+        from singa_tpu.ops.pallas.s2_act import s2_silu
+
+        return s2_silu(x, grid.to_grid_mat, grid.from_grid_mat)
     return grid.from_grid(jax.nn.silu(grid.to_grid(x)))
 
 

@@ -222,7 +222,10 @@ class Trainer:
                 self.step % cfg.val_freq == 0 or self.step == max_iters
             ):
                 val_loss = self.validate(val_data)
-                self.sched = self.sched.step_metric(val_loss)
+                if self.config.train.scheduler.type in ("plateau", "warmup_plateau"):
+                    self.sched = self.sched.step_metric(val_loss)
+                else:
+                    self.sched = self.sched.step_schedule(self.step)
                 improved = self.stopper.update(val_loss)
                 self.metrics.write(
                     self.step, **{"val/loss": val_loss, "val/improved": int(improved)}
@@ -254,7 +257,13 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument(
+        "--timestamped", action="store_true",
+        help="append a timestamp to --logdir (reference get_new_log_dir, misc.py:168)",
+    )
     args = ap.parse_args(argv)
+    if args.timestamped:
+        args.logdir = f"{args.logdir}_{time.strftime('%Y_%m_%d__%H_%M_%S')}"
 
     cfg = load_config(args.config) if args.config else Config()
     bs = args.batch_size or cfg.train.batch_size

@@ -79,6 +79,16 @@ class PlateauState:
             return self.base_lr * step / self.cfg.warmup_iters
         return self.lr
 
+    def step_schedule(self, step: int) -> "PlateauState":
+        """Non-plateau schedules stepped per validation: 'expmin' decays
+        exponentially toward min_lr (reference ExponentialLR_with_minLr,
+        misc.py:107-125); 'plateau' is handled by step_metric."""
+        if self.cfg.type not in ("expmin", "expmin_milestone"):
+            return self
+        new = dataclasses.replace(self)
+        new.lr = max(self.lr * self.cfg.factor, self.cfg.min_lr)
+        return new
+
     def step_metric(self, metric: float) -> "PlateauState":
         """Validation-time update; returns the new state (self is immutable-ish)."""
         new = dataclasses.replace(self)
