@@ -337,63 +337,92 @@ class SO2Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, x_edge: Optional[jax.Array] = None):
+        """Fused execution: all m-blocks run as ONE matmul against a
+        block-structured weight (the complex pair convolution
+        [[K_r, K_i], [-K_i, K_r]] embedded per order), assembled from the
+        per-m parameters at trace time. Removes the per-m slice/concat HBM
+        round-trips that dominated the unfused profile."""
         mapping = CoefficientMapping(self.lmax, self.mmax)
         E = x.shape[0]
         c_in = x.shape[-1]
-        xm = mapping.to_m_primary(x)
-
+        F = self.features
+        extra = self.extra_m0_features or 0
         m_sizes = mapping.m_size
-        rad = None
-        if self.edge_channels is not None:
-            total_rad = m_sizes[0] * c_in + sum(
-                2 * s * c_in for s in m_sizes[1:]
-            )
-            rad = RadialMLP(tuple(self.edge_channels) + (total_rad,))(x_edge)
-
-        outs = []
-        extra = None
-        # m = 0 block: real only
         n0 = m_sizes[0]
-        x0 = xm[:, :n0, :].reshape(E, n0 * c_in)
-        off_rad = n0 * c_in
-        if rad is not None:
-            x0 = x0 * rad[:, : n0 * c_in]
-        out0_feats = n0 * self.features + (self.extra_m0_features or 0)
-        x0 = Linear(out0_feats)(x0)
-        if self.extra_m0_features:
-            extra = x0[:, : self.extra_m0_features]
-            x0 = x0[:, self.extra_m0_features :]
-        outs.append(x0.reshape(E, n0, self.features))
+        n_trunc = mapping.n_trunc
+        in_w = n_trunc * c_in
+        out_w = n_trunc * F + extra
 
-        # m > 0 blocks: complex-structured pair convolution
-        offset = n0
+        xm = mapping.to_m_primary(x).reshape(E, in_w)
+
+        # ---- radial modulation (reference SO2_Convolution rad_func path) ----
+        if self.edge_channels is not None:
+            total_rad = n0 * c_in + sum(s * c_in for s in m_sizes[1:])
+            rad = RadialMLP(tuple(self.edge_channels) + (total_rad,))(x_edge)
+            # expand: m0 rows map 1:1; each m>0 radial segment is shared by
+            # its cos and sin coefficient rows (EF_layers.py:847-850)
+            idx = list(range(n0 * c_in))
+            off = n0 * c_in
+            for s in m_sizes[1:]:
+                seg = list(range(off, off + s * c_in))
+                idx.extend(seg)  # cos rows
+                idx.extend(seg)  # sin rows
+                off += s * c_in
+            rad_full = jnp.take(rad, np.asarray(idx, np.int32), axis=1)
+            xm = xm * rad_full.astype(xm.dtype)
+
+        # ---- parameters (same shapes as the reference's per-m Linears) ----
+        bound0 = 1.0 / np.sqrt(n0 * c_in)
+        w0 = self.param(
+            "w_m0",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound0, bound0),
+            (n0 * c_in, n0 * F + extra),
+        )
+        b0 = self.param(
+            "b_m0",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound0, bound0),
+            (n0 * F + extra,),
+        )
+        k_m = []
         for m in range(1, self.mmax + 1):
             sz = m_sizes[m]
-            x_m = xm[:, offset : offset + 2 * sz, :].reshape(E, 2, sz * c_in)
-            if rad is not None:
-                x_m = x_m * rad[:, None, off_rad : off_rad + sz * c_in]
-            half = sz * self.features
-            fc = nn.Dense(
-                2 * half,
-                use_bias=False,
-                dtype=compute_dtype(),
-                kernel_init=lambda k, s, d=jnp.float32: torch_linear_kernel_init(
-                    k, s, d
+            bound = 1.0 / np.sqrt(sz * c_in) / np.sqrt(2.0)
+            k_m.append(
+                self.param(
+                    f"w_m{m}",
+                    lambda k, s, b=bound: jax.random.uniform(k, s, jnp.float32, -b, b),
+                    (sz * c_in, 2 * sz * F),
                 )
-                / np.sqrt(2.0),
-                name=f"fc_m{m}",
             )
-            y = fc(x_m)  # [E, 2, 2*half]
-            y_r, y_i = y[..., :half], y[..., half:]
-            out_r = y_r[:, 0] - y_i[:, 1]
-            out_i = y_r[:, 1] + y_i[:, 0]
-            y = jnp.stack([out_r, out_i], axis=1).reshape(E, 2 * sz, self.features)
-            outs.append(y)
-            offset += 2 * sz
-            off_rad += sz * c_in
 
-        out = jnp.concatenate(outs, axis=1)
-        out = mapping.to_l_primary(out)
-        if self.extra_m0_features:
-            return out, extra
+        # ---- assemble the block weight [in_w, out_w] ----
+        dt = compute_dtype()
+        W = jnp.zeros((in_w, out_w), dt)
+        W = W.at[: n0 * c_in, : n0 * F].set(w0[:, : n0 * F].astype(dt))
+        if extra:
+            W = W.at[: n0 * c_in, n_trunc * F :].set(w0[:, n0 * F :].astype(dt))
+        r_off = n0 * c_in
+        c_off = n0 * F
+        for m in range(1, self.mmax + 1):
+            sz = m_sizes[m]
+            K = k_m[m - 1].astype(dt)
+            K_r, K_i = K[:, : sz * F], K[:, sz * F :]
+            rc, rs = r_off, r_off + sz * c_in
+            cc, cs = c_off, c_off + sz * F
+            W = W.at[rc:rs, cc:cs].set(K_r)
+            W = W.at[rs : rs + sz * c_in, cc:cs].set(-K_i)
+            W = W.at[rc:rs, cs : cs + sz * F].set(K_i)
+            W = W.at[rs : rs + sz * c_in, cs : cs + sz * F].set(K_r)
+            r_off += 2 * sz * c_in
+            c_off += 2 * sz * F
+
+        bias = jnp.zeros((out_w,), dt)
+        bias = bias.at[: n0 * F].set(b0[: n0 * F].astype(dt))
+        if extra:
+            bias = bias.at[n_trunc * F :].set(b0[n0 * F :].astype(dt))
+
+        y = xm.astype(dt) @ W + bias
+        out = mapping.to_l_primary(y[:, : n_trunc * F].reshape(E, n_trunc, F))
+        if extra:
+            return out, y[:, n_trunc * F :]
         return out
