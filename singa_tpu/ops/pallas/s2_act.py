@@ -119,7 +119,9 @@ def s2_silu(x: jax.Array, to_grid: np.ndarray, from_grid: np.ndarray) -> jax.Arr
     a lane multiple (SiLU(0)=0, so zero-padding is exact)."""
     interpret = jax.default_backend() != "tpu"
     n, i, c = x.shape
-    pad_c = (-c) % 128 if c > 128 else (-c) % 8
+    # always align channels to full lanes (Mosaic handles sub-128 lane dims
+    # poorly; SiLU(0)=0 makes zero padding exact)
+    pad_c = (-c) % 128
     if pad_c:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_c)))
     tg = jnp.asarray(to_grid, jnp.float32)
