@@ -259,33 +259,6 @@ class Encoder(nn.Module):
         return out, pad_mask, msa_outputs
 
 
-class EncoderLayer2(nn.Module):
-    cfg: EncoderConfig
-    cross_here: bool
-
-    @nn.compact
-    def __call__(self, node_attr, edges, edge_attr, B, N, atom_msa, atom_pad_mask, mask):
-        msa = GraphMHA(
-            self.cfg.hidden_channels,
-            self.cfg.key_channels,
-            self.cfg.num_heads,
-            name="enc_self_attn",
-        )(node_attr, edges, edge_attr)
-        if self.cross_here:
-            proj = Linear(self.cfg.hidden_channels, name="proj")(atom_msa)
-            q = msa.reshape(B, N, -1)
-            cross_mask = jnp.broadcast_to(atom_pad_mask, (B, N, atom_pad_mask.shape[-1]))
-            cross = DenseMHA(
-                self.cfg.hidden_channels,
-                self.cfg.key_channels,
-                self.cfg.num_heads,
-                name="cross_attn",
-            )(q, proj, cross_mask)
-            cross = (cross * mask[..., None]).reshape(B * N, -1)
-            msa = nn.LayerNorm(name="layer_norm")(msa + cross)
-        return PositionwiseFFN(self.cfg.hidden_channels, self.cfg.ffn_hidden, name="pos_ffn")(msa)
-
-
 class Encoder2(nn.Module):
     """Second encoder with cross-attention into encoder-1 MSA outputs at
     layers 2 and 5 (CProMG.py:313-343; during training it consumes the

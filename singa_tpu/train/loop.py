@@ -204,13 +204,14 @@ class Trainer:
             )
 
             if self.step % log_every == 0 or self.step == start_step + 1:
+                loss_val = float(loss)  # forces completion of all queued steps
                 dt = time.time() - t_last
                 n = log_every if self.step > start_step + 1 else 1
                 gps = batch.batch_size * n / max(dt, 1e-9)
                 self.metrics.write(
                     self.step,
                     **{
-                        "train/loss": float(loss),
+                        "train/loss": loss_val,
                         "train/grad": float(gnorm),
                         "train/lr": get_learning_rate(self.opt_state),
                         "train/graphs_per_sec": gps,
