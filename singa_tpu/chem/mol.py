@@ -19,7 +19,6 @@ interaction detectors in singa_tpu/chem/interactions.py.
 """
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 
 import networkx as nx

@@ -12,7 +12,6 @@ bonds in both paths for train/serve consistency (deliberate deviation).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -11,8 +11,6 @@ import queue
 import threading
 from typing import Iterable, Iterator, Optional
 
-import jax
-
 
 class Prefetcher:
     """Wrap a batch iterable with an N-deep background prefetch queue."""

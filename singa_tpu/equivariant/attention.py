@@ -10,7 +10,7 @@ reference mutates its input dict in place across blocks, EF_layers.py:1352-1366
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ worst kept hypothesis beats the best possible live continuation.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

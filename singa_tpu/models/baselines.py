@@ -8,10 +8,7 @@ equivariant message-passing alternative to the full SO(3) stack.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from singa_tpu.equivariant.layers import Linear

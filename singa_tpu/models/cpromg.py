@@ -16,7 +16,7 @@ Deliberate deviations from the reference, documented here:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -28,7 +28,7 @@ from singa_tpu.dtypes import compute_dtype
 from singa_tpu.equivariant.layers import Linear
 from singa_tpu.ops.knn import EdgeList, knn_graph
 from singa_tpu.ops.laplacian import laplacian_edges
-from singa_tpu.ops.segment import segment_mean, segment_softmax, segment_sum
+from singa_tpu.ops.segment import segment_softmax, segment_sum
 from singa_tpu.ops.smearing import gaussian_smearing
 
 

@@ -13,8 +13,6 @@ vanillaModel.py:144-180). Here that design is promoted to first-class:
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

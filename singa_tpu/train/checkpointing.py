@@ -12,7 +12,6 @@ import dataclasses
 import os
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 import yaml
 

@@ -18,7 +18,6 @@ scorer) through ``jax.pure_callback``.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

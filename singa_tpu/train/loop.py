@@ -12,15 +12,13 @@ CLI: python -m singa_tpu.train.loop --synthetic --max-iters 50
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import signal
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 

@@ -118,3 +118,21 @@ def test_gaussian_smearing_shape_and_peak():
     assert out.shape == (1, 11)
     assert int(jnp.argmax(out[0])) == 5
     np.testing.assert_allclose(out[0, 5], 1.0, atol=1e-6)
+
+
+def test_prefetcher_roundtrip_and_error_propagation():
+    from singa_tpu.data.pipeline import Prefetcher
+
+    out = list(Prefetcher(range(10), depth=3))
+    assert out == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("source died")
+
+    pf = Prefetcher(boom(), depth=2)
+    items = []
+    with pytest.raises(RuntimeError):
+        for x in pf:
+            items.append(x)
+    assert items == [1]
