@@ -2,8 +2,11 @@
 
 Prints ONE JSON line:
   {"metric": "train_graphs_per_sec_per_chip", "value": N, "unit": "graphs/s",
-   "vs_baseline": N / 5000}
+   "vs_baseline": N / 5000, "mfu": ..., "step_ms": ..., "tflops": ...}
 (North-star target: >= 5000 graphs/sec/chip, /root/repo/BASELINE.json.)
+
+Usage: python bench.py [batch_size] [--profile DIR]
+  --profile writes a jax.profiler trace for the timed steps to DIR.
 """
 from __future__ import annotations
 
@@ -14,6 +17,9 @@ import time
 import jax
 import numpy as np
 import optax
+
+# peak bf16 matmul throughput of the attached chip (TPU v5 lite ~197 TFLOP/s)
+PEAK_FLOPS = 197e12
 
 
 def main():
@@ -29,7 +35,12 @@ def main():
     from singa_tpu.models.singa import SINGA, cross_entropy_loss
     from singa_tpu.train.optim import make_optimizer
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch_size = int(args[0]) if args else 32
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = sys.argv[sys.argv.index("--profile") + 1]
+
     cfg = Config()
     set_compute_dtype(cfg.train.compute_dtype)
     batch = synthetic_batch(
@@ -56,18 +67,37 @@ def main():
         return params, opt_state, loss
 
     t0 = time.time()
-    params, opt_state, loss = train_step(params, opt_state, batch)
+    lowered = train_step.lower(params, opt_state, batch)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    params, opt_state, loss = compiled(params, opt_state, batch)
     jax.block_until_ready(loss)
-    print(f"compile+first step {time.time()-t0:.1f}s loss={float(loss):.3f}", file=sys.stderr)
+    print(
+        f"compile+first step {time.time()-t0:.1f}s loss={float(loss):.3f} "
+        f"flops/step={step_flops/1e12:.2f} TF",
+        file=sys.stderr,
+    )
 
-    iters = 10
+    iters = 20
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     for _ in range(iters):
-        params, opt_state, loss = train_step(params, opt_state, batch)
+        params, opt_state, loss = compiled(params, opt_state, batch)
     final_loss = float(loss)  # value fetch forces completion
     dt = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profile trace written to {profile_dir}", file=sys.stderr)
     gps = batch_size * iters / dt
-    print(f"{iters} steps in {dt:.2f}s -> {gps:.1f} graphs/s", file=sys.stderr)
+    step_ms = dt / iters * 1e3
+    mfu = step_flops / (dt / iters) / PEAK_FLOPS if step_flops else 0.0
+    print(
+        f"{iters} steps in {dt:.2f}s -> {gps:.1f} graphs/s "
+        f"({step_ms:.1f} ms/step, mfu {mfu:.3f}, loss {final_loss:.3f})",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(
@@ -76,6 +106,10 @@ def main():
                 "value": round(gps, 2),
                 "unit": "graphs/s",
                 "vs_baseline": round(gps / 5000.0, 4),
+                "mfu": round(mfu, 4),
+                "step_ms": round(step_ms, 2),
+                "tflops_per_step": round(step_flops / 1e12, 3),
+                "batch_size": batch_size,
             }
         )
     )

@@ -62,6 +62,8 @@ class Molecule:
     bond_order: np.ndarray  # [M] int (1, 2, 3; aromatic marked separately)
     bond_aromatic: np.ndarray  # [M] bool
     formal_charge: np.ndarray | None = None  # [N] int
+    # exact H counts where known (SMILES bracket atoms): -1 = infer by valence
+    explicit_h: np.ndarray | None = None  # [N] int
 
     # perception caches
     _graph: nx.Graph | None = field(default=None, repr=False)
@@ -78,6 +80,8 @@ class Molecule:
         self.bond_aromatic = np.asarray(self.bond_aromatic, dtype=bool).reshape(-1)
         if self.formal_charge is None:
             self.formal_charge = np.zeros(len(self.atomic_num), dtype=np.int64)
+        if self.explicit_h is not None:
+            self.explicit_h = np.asarray(self.explicit_h, dtype=np.int64)
 
     # ---------- topology ----------
 
@@ -278,21 +282,37 @@ class Molecule:
                 explicit[i] += 1
             if self.atomic_num[i] == 1:
                 explicit[j] += 1
-        # implicit H from standard valences when no explicit H present
+        # implicit H from standard valences when no explicit H present.
+        # Aromatic bonds count 1.5 regardless of their stored Kekulé order
+        # (so c1ccccc1 carbons get exactly one H whether the ring arrived
+        # kekulised or flagged aromatic).
         valence = {6: 4, 7: 3, 8: 2, 16: 2}
-        used = np.zeros(self.num_atoms, dtype=np.int64)
-        for (i, j), o in zip(self.bonds, self.bond_order):
-            used[i] += int(o)
-            used[j] += int(o)
         arom = self.aromatic
+        ring_sets = [set(r) for r in self.rings]
+
+        def _is_arom_bond(i, j, ar):
+            if ar:
+                return True
+            if not (arom[i] and arom[j]):
+                return False
+            return any(i in rs and j in rs for rs in ring_sets)
+
+        used = np.zeros(self.num_atoms, dtype=np.float64)
+        for (i, j), o, ar in zip(self.bonds, self.bond_order, self.bond_aromatic):
+            w = 1.5 if _is_arom_bond(int(i), int(j), bool(ar)) else float(o)
+            used[i] += w
+            used[j] += w
         implicit = np.zeros(self.num_atoms, dtype=np.int64)
         has_h = explicit > 0
         for a in range(self.num_atoms):
             z = int(self.atomic_num[a])
             if z in valence and not has_h[a]:
                 v = valence[z] + int(self.formal_charge[a]) * (1 if z == 7 else -1 if z == 8 else 0)
-                extra = 1 if arom[a] else 0
-                implicit[a] = max(0, v - used[a] - extra)
+                implicit[a] = max(0, int(np.floor(v - used[a] + 0.5)))
+        if self.explicit_h is not None:
+            # SMILES bracket atoms carry exact H counts; -1 = infer as above
+            specified = self.explicit_h >= 0
+            return np.where(specified, self.explicit_h + explicit, explicit + implicit)
         return explicit + implicit
 
     @property

@@ -114,6 +114,11 @@ class ShapeConfig:
     num_pl_edges: int = 96
     node_feat_dim: int = 59  # 44 elements + 7 hybridisation + charge + 7 flags
     lap_dim: int = 8
+    # destination-table caps (singa_tpu/ops/neighbors.py): max in-degree kept
+    # per node. Covalent in-degree == bond count (<= 6); interaction edges are
+    # capped well above the per-atom contact counts the featurizer emits.
+    max_in_degree_intra: int = 8
+    max_in_degree_inter: int = 24
 
 
 @dataclass(frozen=True)

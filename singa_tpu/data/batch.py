@@ -45,6 +45,16 @@ class TokenSet(NamedTuple):
     target: jax.Array  # [B, T] int32, tokens + '$' + '^' padding
 
 
+class BatchTables(NamedTuple):
+    """Host-precomputed destination tables for the two merged embedding
+    stages (see singa_tpu/ops/neighbors.py). Node index space is the merged
+    [protein(0..Np); ligand(Np..Np+Nl)] set; edge positions index the merged
+    lists [pp; ll] (intra) and [lp; pl] (inter), sentinel = list length."""
+
+    intra: jax.Array  # [B, Np+Nl, K_intra] int32
+    inter: jax.Array  # [B, Np+Nl, K_inter] int32
+
+
 class ComplexBatch(NamedTuple):
     protein: NodeSet
     ligand: NodeSet
@@ -54,10 +64,66 @@ class ComplexBatch(NamedTuple):
     pl: EdgeSet  # protein  -> ligand   (interactions)
     props: PropertySet
     tokens: TokenSet
+    tables: BatchTables | None = None  # attach_tables() fills this
 
     @property
     def batch_size(self) -> int:
         return self.protein.x.shape[0]
+
+
+def attach_tables(
+    batch: ComplexBatch,
+    k_intra: int | None = None,
+    k_inter: int | None = None,
+    shapes: ShapeConfig | None = None,
+) -> ComplexBatch:
+    """Compute the merged destination tables on the host and attach them.
+
+    Edges beyond the per-destination cap are dropped (masks updated in the
+    returned batch) so the tables and edge masks stay consistent; real
+    chemistry stays far under the caps (bond degree <= 6; interaction caps
+    sized from the edge buckets).
+    """
+    from singa_tpu.ops.neighbors import build_dst_table
+
+    shapes = shapes or ShapeConfig()
+    k_intra = k_intra or shapes.max_in_degree_intra
+    k_inter = k_inter or shapes.max_in_degree_inter
+
+    n_p = batch.protein.x.shape[1]
+    n_l = batch.ligand.x.shape[1]
+    n_c = n_p + n_l
+    pp_i = np.asarray(batch.pp.index)
+    ll_i = np.asarray(batch.ll.index)
+    lp_i = np.asarray(batch.lp.index)
+    pl_i = np.asarray(batch.pl.index)
+
+    # merged layouts must mirror EquivariantEmbedding.__call__
+    intra_dst = np.concatenate([pp_i[..., 1], ll_i[..., 1] + n_p], axis=1)
+    intra_mask = np.concatenate(
+        [np.asarray(batch.pp.mask), np.asarray(batch.ll.mask)], axis=1
+    )
+    inter_dst = np.concatenate([lp_i[..., 1], pl_i[..., 1] + n_p], axis=1)
+    inter_mask = np.concatenate(
+        [np.asarray(batch.lp.mask), np.asarray(batch.pl.mask)], axis=1
+    )
+
+    intra_tbl, intra_kept, _ = build_dst_table(intra_dst, intra_mask, n_c, k_intra)
+    inter_tbl, inter_kept, _ = build_dst_table(inter_dst, inter_mask, n_c, k_inter)
+
+    e_pp = pp_i.shape[1]
+    e_lp = lp_i.shape[1]
+    pp = batch.pp._replace(mask=jnp.asarray(intra_kept[:, :e_pp]))
+    ll = batch.ll._replace(mask=jnp.asarray(intra_kept[:, e_pp:]))
+    lp = batch.lp._replace(mask=jnp.asarray(inter_kept[:, :e_lp]))
+    pl = batch.pl._replace(mask=jnp.asarray(inter_kept[:, e_lp:]))
+    return batch._replace(
+        pp=pp,
+        ll=ll,
+        lp=lp,
+        pl=pl,
+        tables=BatchTables(intra=jnp.asarray(intra_tbl), inter=jnp.asarray(inter_tbl)),
+    )
 
 
 def flat_edges(edge_set: EdgeSet, num_src: int, num_dst: int) -> EdgeList:
@@ -120,7 +186,8 @@ def synthetic_batch(
             counts,
         )
 
-    def edges(emax, counts, attr_dim, counts_dst=None):
+    def edges(emax, counts, attr_dim, counts_dst=None, max_in_degree=6):
+        """Random edges with bounded in-degree (like covalent/contact graphs)."""
         idx = np.zeros((batch_size, emax, 2), dtype=np.int32)
         attr = rng.normal(size=(batch_size, emax, attr_dim)).astype(np.float32)
         mask = np.zeros((batch_size, emax), dtype=bool)
@@ -128,13 +195,16 @@ def synthetic_batch(
             n_src = counts[b]
             n_dst = counts_dst[b] if counts_dst is not None else n_src
             ne = min(emax, int(1.8 * min(n_src, n_dst)))
-            idx[b, :ne, 0] = rng.integers(0, n_src, size=ne)
-            idx[b, :ne, 1] = rng.integers(0, n_dst, size=ne)
+            # destinations drawn with bounded multiplicity
+            pool = np.tile(np.arange(n_dst), max_in_degree)
+            rng.shuffle(pool)
+            dst = pool[:ne]
+            src = rng.integers(0, n_src, size=ne)
+            if counts_dst is None:  # avoid zero-length self-loop vectors
+                src = np.where(src == dst, (src + 1) % n_src, src)
+            idx[b, :ne, 0] = src
+            idx[b, :ne, 1] = dst
             mask[b, :ne] = True
-            # avoid zero-length edge vectors from self loops in same node set
-            if counts_dst is None:
-                same = idx[b, :ne, 0] == idx[b, :ne, 1]
-                idx[b, :ne, 1] = np.where(same, (idx[b, :ne, 1] + 1) % n_src, idx[b, :ne, 1])
         attr *= mask[..., None]
         return idx, attr, mask
 
@@ -158,7 +228,7 @@ def synthetic_batch(
         tok_tgt[b, n] = EOS_TOKEN
 
     j = jnp.asarray
-    return ComplexBatch(
+    batch = ComplexBatch(
         protein=NodeSet(j(px), j(ppos), j(pel), j(pmask), j(plap)),
         ligand=NodeSet(j(lx), j(lpos), j(lel), j(lmask), j(llap)),
         pp=EdgeSet(j(ppi), j(ppa), j(ppm)),
@@ -175,3 +245,4 @@ def synthetic_batch(
         ),
         tokens=TokenSet(j(tok_in), j(tok_tgt)),
     )
+    return attach_tables(batch, shapes=shapes)

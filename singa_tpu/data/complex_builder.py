@@ -29,6 +29,7 @@ from singa_tpu.data.batch import (
     NodeSet,
     PropertySet,
     TokenSet,
+    attach_tables,
 )
 from singa_tpu.ops.laplacian import laplacian_pe_numpy
 
@@ -123,7 +124,7 @@ def build_complex(
     def b(d):
         return {k: v[None] for k, v in d.items()}
 
-    return ComplexBatch(
+    batch = ComplexBatch(
         protein=NodeSet(**b(p_nodes)),
         ligand=NodeSet(**b(l_nodes)),
         pp=EdgeSet(**b(pp)),
@@ -140,6 +141,7 @@ def build_complex(
         ),
         tokens=TokenSet(tok_in[None], tok_tgt[None]),
     )
+    return attach_tables(batch, shapes=shapes)
 
 
 def build_from_files(

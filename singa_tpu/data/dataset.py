@@ -21,6 +21,7 @@ from singa_tpu.data.batch import (
     NodeSet,
     PropertySet,
     TokenSet,
+    attach_tables,
     synthetic_batch,
 )
 
@@ -53,7 +54,7 @@ def _stack(files: Sequence[dict]) -> ComplexBatch:
     def st(key):
         return np.stack([f[key] for f in files])
 
-    return ComplexBatch(
+    batch = ComplexBatch(
         protein=NodeSet(*[st(f"protein.{f}") for f in _NODE_FIELDS]),
         ligand=NodeSet(*[st(f"ligand.{f}") for f in _NODE_FIELDS]),
         pp=EdgeSet(*[st(f"pp.{f}") for f in _EDGE_FIELDS]),
@@ -63,6 +64,7 @@ def _stack(files: Sequence[dict]) -> ComplexBatch:
         props=PropertySet(*[st(f"props.{f}") for f in _PROP_FIELDS]),
         tokens=TokenSet(*[st(f"tokens.{f}") for f in _TOKEN_FIELDS]),
     )
+    return attach_tables(batch)
 
 
 class NpzDataset:

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from singa_tpu.dtypes import compute_dtype
 from singa_tpu.equivariant import so3
 from singa_tpu.equivariant.layers import (
     Linear,
@@ -27,7 +28,7 @@ from singa_tpu.equivariant.layers import (
     separable_s2_activation,
     smooth_leaky_relu,
 )
-from singa_tpu.ops.edge_matmul import MatmulEdges
+from singa_tpu.ops.neighbors import EdgeEngine
 
 
 class EdgeDegreeEmbedding(nn.Module):
@@ -44,7 +45,7 @@ class EdgeDegreeEmbedding(nn.Module):
     def __call__(
         self,
         x_edge: jax.Array,  # [B*E, De]
-        edges: MatmulEdges,
+        edges: EdgeEngine,
         wigner: jax.Array,
     ) -> jax.Array:
         mapping = so3.CoefficientMapping(self.lmax, self.mmax)
@@ -100,7 +101,7 @@ class GraphAttention(nn.Module):
         x_src: jax.Array,  # [N_src, coeffs, C]
         x_dst: jax.Array,  # [N_dst, coeffs, C]
         x_edge: jax.Array,  # [B*E, De]
-        edges: MatmulEdges,
+        edges: EdgeEngine,
         wigner: jax.Array,
     ) -> jax.Array:
         xs = edges.gather_src(x_src)
@@ -148,9 +149,27 @@ class GraphAttention(nn.Module):
         msg = msg * alpha[:, None, :, None]
         msg = msg.reshape(E, n_trunc, self.num_heads * self.attn_value_channels)
 
+        # Output projection applied per edge *before* rotate-back + reduce.
+        # The per-degree channel mix commutes with the (block-diagonal) Wigner
+        # rotation, the truncation rescale and the edge sum, so this equals
+        # the reference's project-after-reduce (EF_layers.py:1196-1203) while
+        # shrinking rotate_inv+scatter traffic by heads*value/out = 7x.
+        c_in = self.num_heads * self.attn_value_channels
+        bound = 1.0 / np.sqrt(c_in)
+        proj_w = self.param(
+            "proj_w",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.lmax + 1, self.output_channels, c_in),
+        )
+        proj_b = self.param("proj_b", nn.initializers.zeros, (self.output_channels,))
+        dt = compute_dtype()
+        mapping = so3.CoefficientMapping(self.lmax, self.mmax)
+        wt = jnp.take(proj_w.astype(dt), mapping.l_of_trunc, axis=0)
+        msg = jnp.einsum("eic,ioc->eio", msg.astype(dt), wt)
+
         msg = so3.rotate_inv(wigner, msg, self.lmax, self.mmax)
         out = edges.scatter_dst(msg)
-        return SO3Linear(self.output_channels, lmax=self.lmax, name="proj")(out)
+        return out.at[:, 0, :].add(proj_b.astype(out.dtype))
 
 
 class TransBlock(nn.Module):
@@ -175,7 +194,7 @@ class TransBlock(nn.Module):
         x_src: jax.Array,
         x_dst: jax.Array,
         x_edge: jax.Array,
-        edges: MatmulEdges,
+        edges: EdgeEngine,
         wigner: jax.Array,
     ) -> jax.Array:
         norm_1 = get_norm_layer(self.norm_type, self.lmax)

@@ -24,11 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from singa_tpu.config import EmbeddingConfig
-from singa_tpu.data.batch import ComplexBatch, flat_nodes
+from singa_tpu.data.batch import ComplexBatch
 from singa_tpu.equivariant import so3
 from singa_tpu.equivariant.attention import EdgeDegreeEmbedding, TransBlock
 from singa_tpu.equivariant.layers import Embed, get_norm_layer
-from singa_tpu.ops.edge_matmul import MatmulEdges
+from singa_tpu.ops.neighbors import EdgeEngine
 from singa_tpu.ops.smearing import gaussian_smearing
 
 
@@ -95,7 +95,7 @@ class EquivariantEmbedding(nn.Module):
         pos_dst: jax.Array,
         z_src: jax.Array,
         z_dst: jax.Array,
-        edges: MatmulEdges,
+        edges: EdgeEngine,
     ):
         cfg = self.config
         vec = edges.gather_src(pos_src) - edges.gather_dst(pos_dst)
@@ -121,7 +121,7 @@ class EquivariantEmbedding(nn.Module):
         )
         return out.at[:, 0, :].set(scal)
 
-    def _intra_pass(self, x, z, pos, edges: MatmulEdges):
+    def _intra_pass(self, x, z, pos, edges: EdgeEngine):
         x_edge, wigner = self._edge_scalars(pos, pos, z, z, edges)
         h = self._base_features(x, z)
         h = h + self.edge_degree_embedding(x_edge, edges, wigner)
@@ -146,20 +146,14 @@ class EquivariantEmbedding(nn.Module):
         see the union of edges of the two passes), half the kernel launches
         and double the tensor occupancy.
         """
+        if batch.tables is None:
+            raise ValueError(
+                "batch lacks destination tables; build batches through "
+                "singa_tpu.data (or call singa_tpu.data.batch.attach_tables)"
+            )
         B = batch.batch_size
-        p = flat_nodes(batch.protein)
         n_p = batch.protein.x.shape[1]
         n_l = batch.ligand.x.shape[1]
-
-        if gen_mode:
-            pp = MatmulEdges.create(batch.pp.index, batch.pp.mask, n_p, n_p)
-            h_p = self._intra_pass(p.x, p.atomic_num, p.pos, pp)
-            h_p = h_p * p.mask[:, None, None]
-            nl_tot = B * n_l
-            return EmbeddingOutput(
-                protein=h_p, ligand=jnp.zeros((nl_tot,) + h_p.shape[1:], h_p.dtype)
-            )
-
         n_c = n_p + n_l
         # combined per-graph node set: [protein(0..n_p); ligand(n_p..n_c)]
         cx = jnp.concatenate([batch.protein.x, batch.ligand.x], axis=1).reshape(
@@ -180,9 +174,18 @@ class EquivariantEmbedding(nn.Module):
             [batch.pp.index, batch.ll.index + n_p], axis=1
         )
         intra_mask = jnp.concatenate([batch.pp.mask, batch.ll.mask], axis=1)
-        intra = MatmulEdges.create(intra_idx, intra_mask, n_c, n_c)
+        intra = EdgeEngine.create(intra_idx, intra_mask, batch.tables.intra, n_c, n_c)
         h = self._intra_pass(cx, cz, cpos, intra)
         h = h * cmask[:, None, None]
+
+        if gen_mode:
+            # protein-only embedding for generation (reference gen_mode,
+            # Embedding.py:297-298); interaction edges are empty by input.
+            hb = h.reshape(B, n_c, *h.shape[1:])
+            return EmbeddingOutput(
+                protein=hb[:, :n_p].reshape(B * n_p, *h.shape[1:]),
+                ligand=hb[:, n_p:].reshape(B * n_l, *h.shape[1:]),
+            )
 
         # stage 2: both interaction directions (l->p and p->l)
         lp_idx = jnp.stack(
@@ -193,7 +196,7 @@ class EquivariantEmbedding(nn.Module):
         )
         inter_idx = jnp.concatenate([lp_idx, pl_idx], axis=1)
         inter_mask = jnp.concatenate([batch.lp.mask, batch.pl.mask], axis=1)
-        inter = MatmulEdges.create(inter_idx, inter_mask, n_c, n_c)
+        inter = EdgeEngine.create(inter_idx, inter_mask, batch.tables.inter, n_c, n_c)
         h_inter = self._inter_pass(h, h, cz, cz, cpos, cpos, inter)
 
         h_out = (h + h_inter) * cmask[:, None, None]

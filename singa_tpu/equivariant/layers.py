@@ -293,11 +293,14 @@ def gate_activation(
 def s2_activation(x: jax.Array, lmax: int, mmax: int) -> jax.Array:
     """Pointwise SiLU on the sphere grid (EF_layers.py:1736-1754).
 
-    With SINGA_TPU_PALLAS=1 on TPU this runs as a fused Pallas kernel that
-    keeps the [N, G, C] grid tensor in VMEM (singa_tpu/ops/pallas/s2_act.py).
-    Default is the XLA einsum pair: the current axon remote-compile path
-    stalls on Mosaic kernels inside large programs, so the kernel is opt-in
-    until that is resolved (parity is covered by tests either way)."""
+    A fused Pallas kernel exists (singa_tpu/ops/pallas/s2_act.py) that would
+    keep the [N, G, C] grid tensor in VMEM — the XLA einsum pair materialises
+    it in HBM (~3 GB per FFN call at the flagship config, ~20% of the step in
+    the round-2 profile). It stays OPT-IN (SINGA_TPU_PALLAS=1): the axon
+    remote-compile service stalls indefinitely on ANY Mosaic kernel that
+    touches the MXU (re-verified this round with a minimal 128x128 dot
+    kernel; elementwise kernels do compile, in ~100 s). Parity is covered by
+    tests in interpret mode either way."""
     import os
 
     grid = get_grid(lmax, mmax)
@@ -360,15 +363,16 @@ class SO2Conv(nn.Module):
             total_rad = n0 * c_in + sum(s * c_in for s in m_sizes[1:])
             rad = RadialMLP(tuple(self.edge_channels) + (total_rad,))(x_edge)
             # expand: m0 rows map 1:1; each m>0 radial segment is shared by
-            # its cos and sin coefficient rows (EF_layers.py:847-850)
-            idx = list(range(n0 * c_in))
+            # its cos and sin coefficient rows (EF_layers.py:847-850).
+            # Built from slices+concat — a feature-axis jnp.take here lowers
+            # to a serialising XLA while loop on TPU (round-2 profile).
+            parts = [rad[:, : n0 * c_in]]
             off = n0 * c_in
             for s in m_sizes[1:]:
-                seg = list(range(off, off + s * c_in))
-                idx.extend(seg)  # cos rows
-                idx.extend(seg)  # sin rows
+                seg = rad[:, off : off + s * c_in]
+                parts.extend((seg, seg))  # cos rows, sin rows
                 off += s * c_in
-            rad_full = jnp.take(rad, np.asarray(idx, np.int32), axis=1)
+            rad_full = jnp.concatenate(parts, axis=-1)
             xm = xm * rad_full.astype(xm.dtype)
 
         # ---- parameters (same shapes as the reference's per-m Linears) ----

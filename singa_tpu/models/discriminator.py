@@ -67,6 +67,42 @@ class GINDiscriminator(nn.Module):
         return logit[:, 0]  # raw logit; sigmoid at the loss
 
 
+class GINDiscriminatorDense(nn.Module):
+    """GIN over a dense adjacency [B, N, N] (agg = A @ h).
+
+    Same architecture as GINDiscriminator but differentiable in both the node
+    features and the adjacency — the form WGAN-GP needs to take gradients at
+    interpolated graphs (the reference's intended graph-level scoring
+    direction, vanilla/vanillaModel.py:144-180, finished here)."""
+
+    hidden: int = 128
+    out_channels: int = 64
+    num_layers: int = 3
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, N, F]
+        adj: jax.Array,  # [B, N, N] float (0/1 or interpolated)
+        node_mask: jax.Array,  # [B, N]
+        deterministic: bool = True,
+    ) -> jax.Array:
+        m = node_mask.astype(x.dtype)[..., None]
+        h = x * m
+        for i in range(self.num_layers):
+            agg = jnp.einsum("bnm,bmf->bnf", adj, h)
+            h = h + agg
+            h = nn.relu(Linear(self.hidden, name=f"conv_{i}_1")(h))
+            h = Linear(self.hidden, name=f"conv_{i}_2")(h)
+            h = nn.relu(h) * m
+        pooled = h.sum(axis=1)  # global_add_pool (vanillaModel.py:170)
+        g = nn.relu(Linear(self.hidden, name="mlp_1")(pooled))
+        g = nn.Dropout(self.dropout, deterministic=deterministic)(g)
+        g = Linear(self.out_channels, name="mlp_2")(g)
+        return Linear(1, name="head")(g)[:, 0]
+
+
 class SeqDiscriminator(nn.Module):
     vocab_size: int
     hidden: int = 256

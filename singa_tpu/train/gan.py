@@ -1,20 +1,24 @@
-"""Adversarial (GAN) training: generator sampling + sequence discriminator.
+"""Adversarial (GAN) training: generator sampling + two discriminators.
 
 The reference never implemented its GAN (Discriminator.py / Generator.py are
 0-byte placeholders; SURVEY.md §0). This module supplies the intended
-capability as a first-class, fully on-device loop:
+capability as a first-class loop:
 
   * generator = the (CE-pretrained) SINGA model, sampling SMILES token
     sequences conditioned on the pocket encoding + property prefix;
-  * discriminator = SeqDiscriminator over token sequences (real ligand
-    SMILES from the batch vs. sampled ones);
-  * discriminator step: binary cross-entropy on real/fake;
-  * generator step: REINFORCE with the discriminator probability as reward
-    and a batch-mean baseline (SeqGAN-style), masked past EOS.
+  * sequence discriminator = SeqDiscriminator over token sequences, fully
+    on-device (SeqGAN-style);
+  * graph discriminator = GINDiscriminatorDense over *molecular graphs*
+    parsed back from the generated SMILES (the reference's intended
+    direction, vanilla/vanillaModel.py:144-180) — generated tokens round-trip
+    through singa_tpu.chem.smiles_parser on the host via jax.pure_callback;
+    supports plain BCE or WGAN-GP critics (BASELINE configs[3] names a WGAN
+    finetune);
+  * generator step: REINFORCE with (seq-D probability + graph-D probability +
+    validity-gated chemistry reward) and a batch-mean baseline, masked past
+    EOS. Invalid SMILES earn zero chemistry/graph reward (the validity gate).
 
-Rewards are pluggable: ``extra_reward_fn(tokens) -> [B]`` hooks in host-side
-chemistry scores (validity, QED/SA via singa_tpu.chem, Vina via the C++
-scorer) through ``jax.pure_callback``.
+CLI: ``python -m singa_tpu.train.gan --synthetic --rounds 20``.
 """
 from __future__ import annotations
 
@@ -26,8 +30,9 @@ import optax
 
 from singa_tpu.config import Config, EOS_TOKEN, PAD_TOKEN, SOS_TOKEN
 from singa_tpu.data.batch import ComplexBatch
-from singa_tpu.models.discriminator import SeqDiscriminator
+from singa_tpu.models.discriminator import GINDiscriminatorDense, SeqDiscriminator
 from singa_tpu.models.singa import SINGA, binarize_props
+from singa_tpu.train.rewards import chem_reward_fn, graph_batch_fn
 
 
 class GANState(NamedTuple):
@@ -35,6 +40,8 @@ class GANState(NamedTuple):
     g_opt: any
     d_params: any
     d_opt: any
+    gd_params: any  # graph discriminator (None when disabled)
+    gd_opt: any
     step: jax.Array
 
 
@@ -99,27 +106,64 @@ class GANTrainer:
         config: Config,
         g_lr: float = 1e-5,
         d_lr: float = 1e-4,
-        extra_reward_fn: Optional[Callable] = None,
+        extra_reward_fn: Optional[Callable] = "chem",
         temperature: float = 1.0,
+        use_graph_disc: bool = True,
+        graph_loss: str = "bce",  # 'bce' | 'wgan-gp'
+        gp_weight: float = 10.0,
     ):
         self.config = config
         self.model = SINGA(config)
         self.disc = SeqDiscriminator(vocab_size=config.model.decoder.vocab_size)
         self.g_optimizer = optax.adam(g_lr)
         self.d_optimizer = optax.adam(d_lr)
+        self.use_graph_disc = use_graph_disc
+        self.graph_loss = graph_loss
+        self.gp_weight = gp_weight
+        if use_graph_disc:
+            self.graph_disc = GINDiscriminatorDense()
+            self.gd_optimizer = optax.adam(d_lr)
+            self._graphs = graph_batch_fn(config.shapes.num_ligand_nodes)
+        if extra_reward_fn == "chem":
+            extra_reward_fn = chem_reward_fn()
         self.extra_reward_fn = extra_reward_fn
         self.temperature = temperature
         self._build()
 
     def init(self, key: jax.Array, g_params, example_batch: ComplexBatch) -> GANState:
-        d_params = self.disc.init(key, example_batch.tokens.target)
+        k1, k2 = jax.random.split(key)
+        d_params = self.disc.init(k1, example_batch.tokens.target)
+        gd_params = gd_opt = None
+        if self.use_graph_disc:
+            s = self.config.shapes
+            B = example_batch.batch_size
+            gd_params = self.graph_disc.init(
+                k2,
+                example_batch.ligand.x,
+                jnp.zeros((B, s.num_ligand_nodes, s.num_ligand_nodes)),
+                example_batch.ligand.mask,
+            )
+            gd_opt = self.gd_optimizer.init(gd_params)
         return GANState(
             g_params=g_params,
             g_opt=self.g_optimizer.init(g_params),
             d_params=d_params,
             d_opt=self.d_optimizer.init(d_params),
+            gd_params=gd_params,
+            gd_opt=gd_opt,
             step=jnp.zeros((), jnp.int32),
         )
+
+    @staticmethod
+    def _real_graph(batch: ComplexBatch):
+        """Dense ligand adjacency from the covalent ll edges."""
+        n_l = batch.ligand.x.shape[1]
+        idx, mask = batch.ll.index, batch.ll.mask
+        src = jax.nn.one_hot(idx[..., 0], n_l, dtype=jnp.float32)
+        dst = jax.nn.one_hot(idx[..., 1], n_l, dtype=jnp.float32)
+        adj = jnp.einsum("ben,bem->bnm", src * mask[..., None], dst)
+        adj = jnp.clip(adj + adj.transpose(0, 2, 1), 0.0, 1.0)
+        return batch.ligand.x, adj, batch.ligand.mask
 
     def _encode(self, g_params, batch: ComplexBatch):
         enc, pad = self.model.apply(g_params, batch, method="encode_pocket")
@@ -165,31 +209,101 @@ class GANTrainer:
             d_params = optax.apply_updates(state.d_params, updates)
             return state._replace(d_params=d_params, d_opt=d_opt), loss, acc
 
-        def g_loss_fn(g_params, d_params, batch: ComplexBatch, key):
+        def gd_loss_fn(gd_params, real, fake, key):
+            """Graph discriminator loss on (x, adj, mask) triples.
+
+            Invalid generated molecules arrive as empty graphs with valid=0;
+            their fake-loss terms are masked so the critic learns chemistry,
+            not emptiness (validity is already penalised in the G reward)."""
+            rx, radj, rmask = real
+            fx, fmask, fadj, fvalid = fake
+            gdisc = self.graph_disc
+            r_logit = gdisc.apply(gd_params, rx, radj, rmask)
+            f_logit = gdisc.apply(gd_params, fx, fadj, fmask)
+            w = fvalid / jnp.maximum(fvalid.sum(), 1.0)
+            if self.graph_loss == "wgan-gp":
+                critic = jnp.sum(f_logit * w) - jnp.mean(r_logit)
+                # gradient penalty at interpolated graphs
+                eps = jax.random.uniform(key, (rx.shape[0], 1, 1))
+                xi = eps * rx + (1 - eps) * fx
+                ai = eps[..., 0:1] * radj + (1 - eps[..., 0:1]) * fadj
+                mi = rmask | fmask
+
+                def f(x_and_a):
+                    x_, a_ = x_and_a
+                    return jnp.sum(gdisc.apply(gd_params, x_, a_, mi))
+
+                gx, ga = jax.grad(f)((xi, ai))
+                gn = jnp.sqrt(
+                    jnp.sum(gx**2, axis=(1, 2)) + jnp.sum(ga**2, axis=(1, 2)) + 1e-12
+                )
+                gp = jnp.mean((gn - 1.0) ** 2)
+                loss = critic + self.gp_weight * gp
+                acc = 0.5 * ((r_logit > f_logit.mean()).mean() + 0.5)
+            else:
+                loss = jnp.mean(
+                    optax.sigmoid_binary_cross_entropy(r_logit, jnp.ones_like(r_logit))
+                ) + jnp.sum(
+                    optax.sigmoid_binary_cross_entropy(f_logit, jnp.zeros_like(f_logit))
+                    * w
+                )
+                acc = 0.5 * ((r_logit > 0).mean() + ((f_logit < 0) * fvalid).sum()
+                             / jnp.maximum(fvalid.sum(), 1.0))
+            return loss, acc
+
+        def gd_step(state: GANState, batch: ComplexBatch, key):
+            k1, k2 = jax.random.split(key)
+            enc, pad, prop = self._encode(state.g_params, batch)
+            fake_tokens, _ = sample_sequences(
+                model, state.g_params, enc, pad, prop, k1, T, temp
+            )
+            fake = self._graphs(fake_tokens)
+            real = self._real_graph(batch)
+            (loss, acc), grads = jax.value_and_grad(gd_loss_fn, has_aux=True)(
+                state.gd_params, real, fake, k2
+            )
+            updates, gd_opt = self.gd_optimizer.update(
+                grads, state.gd_opt, state.gd_params
+            )
+            gd_params = optax.apply_updates(state.gd_params, updates)
+            return state._replace(gd_params=gd_params, gd_opt=gd_opt), loss, acc
+
+        def g_loss_fn(g_params, d_params, gd_params, batch: ComplexBatch, key):
             enc, pad, prop = self._encode(g_params, batch)
             tokens, logp = sample_sequences(model, g_params, enc, pad, prop, key, T, temp)
             reward = jax.nn.sigmoid(disc.apply(d_params, tokens))
+            valid = None
+            if self.use_graph_disc and gd_params is not None:
+                fx, fmask, fadj, fvalid = self._graphs(tokens)
+                g_score = jax.nn.sigmoid(
+                    self.graph_disc.apply(gd_params, fx, fadj, fmask)
+                )
+                reward = reward + g_score * fvalid
+                valid = fvalid
             if self.extra_reward_fn is not None:
                 reward = reward + self.extra_reward_fn(tokens)
             baseline = jnp.mean(reward)
             advantage = jax.lax.stop_gradient(reward - baseline)
             seq_logp = logp.sum(axis=1)
             loss = -jnp.mean(advantage * seq_logp)
-            return loss, jnp.mean(reward)
+            pct_valid = jnp.mean(valid) if valid is not None else jnp.nan
+            return loss, (jnp.mean(reward), pct_valid)
 
         def g_step(state: GANState, batch: ComplexBatch, key):
-            (loss, reward), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-                state.g_params, state.d_params, batch, key
-            )
+            (loss, (reward, pct_valid)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.g_params, state.d_params, state.gd_params, batch, key)
             updates, g_opt = self.g_optimizer.update(grads, state.g_opt, state.g_params)
             g_params = optax.apply_updates(state.g_params, updates)
             return (
                 state._replace(g_params=g_params, g_opt=g_opt, step=state.step + 1),
                 loss,
                 reward,
+                pct_valid,
             )
 
         self.d_step = jax.jit(d_step)
+        self.gd_step = jax.jit(gd_step) if self.use_graph_disc else None
         self.g_step = jax.jit(g_step)
 
     def train_round(self, state: GANState, batch: ComplexBatch, key, d_steps=1, g_steps=1):
@@ -199,9 +313,113 @@ class GANTrainer:
             state, d_loss, d_acc = self.d_step(state, batch, sub)
             metrics["gan/d_loss"] = float(d_loss)
             metrics["gan/d_acc"] = float(d_acc)
+            if self.gd_step is not None:
+                key, sub = jax.random.split(key)
+                state, gd_loss, gd_acc = self.gd_step(state, batch, sub)
+                metrics["gan/gd_loss"] = float(gd_loss)
+                metrics["gan/gd_acc"] = float(gd_acc)
         for i in range(g_steps):
             key, sub = jax.random.split(key)
-            state, g_loss, reward = self.g_step(state, batch, sub)
+            state, g_loss, reward, pct_valid = self.g_step(state, batch, sub)
             metrics["gan/g_loss"] = float(g_loss)
             metrics["gan/reward"] = float(reward)
+            if self.use_graph_disc:
+                metrics["gan/pct_valid"] = float(pct_valid) * 100.0
         return state, metrics
+
+
+def main(argv=None):
+    """GAN CLI: CE-pretrain (optional) then alternating adversarial rounds."""
+    import argparse
+    import os
+    import time
+
+    import numpy as np
+
+    from singa_tpu.config import load_config
+    from singa_tpu.data.dataset import NpzDataset, SyntheticDataset
+    from singa_tpu.dtypes import set_compute_dtype
+    from singa_tpu.models.singa import cross_entropy_loss
+    from singa_tpu.train.loop import MetricsWriter
+    from singa_tpu.train.rewards import validity_stats
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--logdir", type=str, default="runs/gan")
+    ap.add_argument("--data", type=str, default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--d-steps", type=int, default=1)
+    ap.add_argument("--g-steps", type=int, default=1)
+    ap.add_argument("--pretrain", type=int, default=0, help="CE warmup steps")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--graph-loss", type=str, default="bce", choices=["bce", "wgan-gp"])
+    ap.add_argument("--no-graph-disc", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else Config()
+    set_compute_dtype(cfg.train.compute_dtype)
+    if args.synthetic or not args.data:
+        data = SyntheticDataset(args.batch_size, cfg.shapes, cfg.model.decoder.tgt_len)
+    else:
+        data = NpzDataset(os.path.join(args.data, "train"), args.batch_size)
+    it = iter(data)
+    batch = next(it)
+
+    model = SINGA(cfg)
+    key = jax.random.PRNGKey(args.seed)
+    g_params = jax.jit(model.init)(key, batch)
+
+    if args.pretrain:
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(g_params)
+
+        @jax.jit
+        def ce_step(p, s, b):
+            def loss_fn(p):
+                return cross_entropy_loss(model.apply(p, b), b.tokens.target)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        for i in range(args.pretrain):
+            g_params, opt_state, ce = ce_step(g_params, opt_state, next(it))
+        print(f"pretrain done: CE={float(ce):.3f}")
+
+    trainer = GANTrainer(
+        cfg,
+        use_graph_disc=not args.no_graph_disc,
+        graph_loss=args.graph_loss,
+    )
+    state = trainer.init(jax.random.PRNGKey(args.seed + 1), g_params, batch)
+    writer = MetricsWriter(args.logdir)
+    t0 = time.time()
+    for r in range(1, args.rounds + 1):
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_round(
+            state, next(it), sub, args.d_steps, args.g_steps
+        )
+        writer.write(r, **metrics)
+        if r == 1 or r % 5 == 0:
+            print(
+                f"round {r}: "
+                + " ".join(f"{k.split('/')[1]}={v:.3f}" for k, v in metrics.items())
+                + f" ({(time.time()-t0)/r:.1f}s/round)"
+            )
+    # final sample quality report
+    enc, pad, prop = trainer._encode(state.g_params, batch)
+    tokens, _ = jax.jit(
+        lambda p, e, pd, pr, k: sample_sequences(
+            trainer.model, p, e, pd, pr, k, cfg.model.decoder.tgt_len
+        )
+    )(state.g_params, enc, pad, prop, key)
+    stats = validity_stats(np.asarray(tokens))
+    print("sample stats:", stats)
+    writer.write(args.rounds + 1, **{f"gan/{k}": v for k, v in stats.items()})
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

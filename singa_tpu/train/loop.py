@@ -181,7 +181,12 @@ class Trainer:
         test_data=None,
         max_iters: Optional[int] = None,
         log_every: int = 10,
+        profile_at: Optional[int] = None,
+        profile_steps: int = 5,
     ):
+        """``profile_at=N`` records a jax.profiler trace of ``profile_steps``
+        training steps starting at step N into ``logdir/profile``
+        (SURVEY.md §5.1: the reference has no tracing at all)."""
         cfg = self.config.train
         max_iters = max_iters or cfg.max_iters
         it = iter(train_data)
@@ -190,8 +195,16 @@ class Trainer:
 
         t_last = time.time()
         start_step = self.step
+        profiling = False
         while self.step < max_iters:
             self.step += 1
+            if profile_at is not None and self.step == profile_at:
+                jax.profiler.start_trace(os.path.join(self.logdir, "profile"))
+                profiling = True
+            if profiling and self.step == profile_at + profile_steps:
+                jax.block_until_ready(self.params)
+                jax.profiler.stop_trace()
+                profiling = False
             # warmup handling
             lr = self.sched.warmup_lr(self.step)
             self.opt_state = set_learning_rate(self.opt_state, lr)
@@ -243,6 +256,9 @@ class Trainer:
                 self.ckpt.wait()
                 break
 
+        if profiling:
+            jax.block_until_ready(self.params)
+            jax.profiler.stop_trace()
         self.save(reason="final")
         self.ckpt.wait()
         return float(loss)
@@ -259,6 +275,10 @@ def main(argv=None):
     ap.add_argument(
         "--timestamped", action="store_true",
         help="append a timestamp to --logdir (reference get_new_log_dir, misc.py:168)",
+    )
+    ap.add_argument(
+        "--profile-at", type=int, default=None,
+        help="record a jax.profiler trace of 5 steps starting at this step",
     )
     args = ap.parse_args(argv)
     if args.timestamped:
@@ -277,7 +297,9 @@ def main(argv=None):
     trainer = Trainer(cfg, logdir=args.logdir)
     trainer.init_state(next(iter(train_data)))
     print(f"params: {trainer.num_params()/1e6:.2f}M  devices: {jax.devices()}")
-    loss = trainer.fit(train_data, val_data, max_iters=args.max_iters)
+    loss = trainer.fit(
+        train_data, val_data, max_iters=args.max_iters, profile_at=args.profile_at
+    )
     print(f"final loss: {loss:.4f}")
 
 

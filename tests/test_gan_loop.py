@@ -44,16 +44,51 @@ def test_sampling_produces_valid_sequences(gan_setup):
     assert lp[tokens == PAD_TOKEN].sum() == 0.0
 
 
-def test_adversarial_round_updates_both(gan_setup):
+def test_adversarial_round_updates_all(gan_setup):
     cfg, batch, trainer, state = gan_setup
     d0 = jax.tree_util.tree_leaves(state.d_params)[0].copy()
     g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    gd0 = jax.tree_util.tree_leaves(state.gd_params)[0].copy()
     state2, metrics = trainer.train_round(state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(metrics["gan/d_loss"])
+    assert np.isfinite(metrics["gan/gd_loss"])
     assert np.isfinite(metrics["gan/g_loss"])
-    assert 0.0 <= metrics["gan/reward"] <= 2.0
+    # reward = seq-D prob + graph-D prob (valid only) + chem reward (<= 2)
+    assert 0.0 <= metrics["gan/reward"] <= 4.5
+    assert 0.0 <= metrics["gan/pct_valid"] <= 100.0
     d1 = jax.tree_util.tree_leaves(state2.d_params)[0]
     g1 = jax.tree_util.tree_leaves(state2.g_params)[0]
+    gd1 = jax.tree_util.tree_leaves(state2.gd_params)[0]
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    assert not np.allclose(np.asarray(gd0), np.asarray(gd1))
     # generator update may be tiny but parameters should change
     assert not np.allclose(np.asarray(g0), np.asarray(g1))
+
+
+def test_wgan_gp_round():
+    cfg = tiny_config()
+    batch = synthetic_batch(0, batch_size=2, shapes=cfg.shapes, tgt_len=TGT_LEN)
+    model = SINGA(cfg)
+    g_params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    trainer = GANTrainer(cfg, graph_loss="wgan-gp")
+    state = trainer.init(jax.random.PRNGKey(1), g_params, batch)
+    state2, metrics = trainer.train_round(state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(metrics["gan/gd_loss"])
+    gd0 = jax.tree_util.tree_leaves(state.gd_params)[0]
+    gd1 = jax.tree_util.tree_leaves(state2.gd_params)[0]
+    assert not np.allclose(np.asarray(gd0), np.asarray(gd1))
+
+
+def test_chem_reward_validity_gate():
+    """Valid molecules earn >= 1; garbage earns exactly 0."""
+    import numpy as np
+
+    from singa_tpu.chem.tokenizer import encode
+    from singa_tpu.train.rewards import _reward_host
+
+    good_in, _ = encode("CC(=O)Oc1ccccc1C(=O)O", 32)
+    junk = np.full((32,), 3, np.int32)  # "((((..." garbage
+    # note: encode()'s input row starts with '&' which decode() strips
+    r = _reward_host(np.stack([good_in, junk]), 0.5, 0.5)
+    assert r[0] >= 1.0
+    assert r[1] == 0.0

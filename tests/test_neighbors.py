@@ -1,0 +1,108 @@
+"""Destination-table edge engine: correctness vs brute force and vs the
+round-1 one-hot engine (singa_tpu/ops/edge_matmul.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singa_tpu.ops.edge_matmul import MatmulEdges
+from singa_tpu.ops.neighbors import EdgeEngine, build_dst_table
+
+
+def _random_edges(seed, B, E, N, k_bound):
+    rng = np.random.default_rng(seed)
+    idx = np.zeros((B, E, 2), np.int32)
+    mask = np.zeros((B, E), bool)
+    for b in range(B):
+        ne = rng.integers(E // 2, E + 1)
+        pool = np.tile(np.arange(N), k_bound)
+        rng.shuffle(pool)
+        idx[b, :ne, 1] = pool[:ne]
+        idx[b, :ne, 0] = rng.integers(0, N, ne)
+        mask[b, :ne] = True
+    return idx, mask
+
+
+def test_build_dst_table_bruteforce():
+    B, E, N, K = 3, 40, 10, 6
+    idx, mask = _random_edges(0, B, E, N, K)
+    tbl, kept, dropped = build_dst_table(idx[..., 1], mask, N, K)
+    assert dropped == 0
+    assert (kept == mask).all()
+    for b in range(B):
+        listed = sorted(int(e) for e in tbl[b].ravel() if e < E)
+        expect = sorted(np.nonzero(mask[b])[0].tolist())
+        assert listed == expect
+        for n in range(N):
+            for e in tbl[b, n]:
+                if e < E:
+                    assert idx[b, e, 1] == n and mask[b, e]
+
+
+def test_build_dst_table_overflow_drops():
+    B, E, N = 1, 12, 2
+    idx = np.zeros((B, E, 2), np.int32)  # all edges -> dst 0
+    mask = np.ones((B, E), bool)
+    tbl, kept, dropped = build_dst_table(idx[..., 1], mask, N, 4)
+    assert dropped == 8 and kept.sum() == 4
+    assert (tbl[0, 0] < E).all() and (tbl[0, 1] == E).all()
+
+
+def _engines(seed, B=3, E=24, N=8, K=5):
+    idx, mask = _random_edges(seed, B, E, N, K)
+    tbl, kept, dropped = build_dst_table(idx[..., 1], mask, N, K)
+    assert dropped == 0
+    new = EdgeEngine.create(jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(tbl), N, N)
+    old = MatmulEdges.create(jnp.asarray(idx), jnp.asarray(mask), N, N)
+    return old, new, B, E, N
+
+
+def test_engine_parity_gather_scatter():
+    old, new, B, E, N = _engines(1)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(B * N, 7, 3)).astype(np.float32))
+    m = jnp.asarray(rng.normal(size=(B * E, 7, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(new.gather_src(x)), np.asarray(old.gather_src(x)), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.gather_dst(x)), np.asarray(old.gather_dst(x)), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.scatter_dst(m)), np.asarray(old.scatter_dst(m)), atol=1e-5
+    )
+
+
+def test_engine_softmax_per_destination():
+    old, new, B, E, N = _engines(3)
+    rng = np.random.default_rng(4)
+    lg = jnp.asarray(rng.normal(size=(B * E, 2)).astype(np.float32))
+    alpha = np.asarray(new.softmax_dst(lg))
+    # brute-force per destination
+    dst = np.asarray(new.dst_flat)
+    msk = np.asarray(new.mask)
+    ref = np.zeros_like(alpha)
+    for d in np.unique(dst[msk]):
+        rows = (dst == d) & msk
+        z = np.asarray(lg)[rows]
+        z = z - z.max(0)
+        ref[rows] = np.exp(z) / np.exp(z).sum(0)
+    np.testing.assert_allclose(alpha, ref, atol=1e-6)
+    # padded edges exactly zero
+    assert (alpha[~msk] == 0).all()
+    # and the one-hot engine agrees (same math, looser stabilisation)
+    np.testing.assert_allclose(alpha, np.asarray(old.softmax_dst(lg)), atol=1e-4)
+
+
+def test_engine_grads_flow():
+    old, new, B, E, N = _engines(5)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(B * N, 4)).astype(np.float32))
+
+    def loss(engine, x):
+        g = engine.gather_src(x)
+        a = engine.softmax_dst(g[:, :2])
+        return jnp.sum(engine.scatter_dst(g * jnp.pad(a, ((0, 0), (0, 2)), constant_values=1.0)) ** 2)
+
+    g_new = jax.grad(lambda v: loss(new, v))(x)
+    g_old = jax.grad(lambda v: loss(old, v))(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old), atol=1e-4)
