@@ -112,52 +112,119 @@ def logp(mol: Molecule) -> float:
     return float(total)
 
 
-# ---------------- TPSA (Ertl) ----------------
+# ---------------- TPSA (Ertl 2000, full fragment table) ----------------
 
-def tpsa(mol: Molecule) -> float:
+# Ertl, Rohde & Selzer, J. Med. Chem. 2000, 43, 3714 (Table 1). Keys:
+# (element, aromatic, charge, n_single, n_double, n_triple, n_aromatic_bonds,
+#  n_H, in_3_ring). Bond counts are to heavy atoms only; H is counted
+# separately (explicit + implicit, matching RDKit's CalcTPSA environment
+# perception). Sulfur/phosphorus contributions are the paper's optional set
+# (RDKit includeSandP); the reference uses the default N/O-only variant
+# (utils/PLParser.py:385 via rdMolDescriptors.CalcTPSA), so include_sp
+# defaults to False.
+_TPSA = {
+    (7, False, 0, 3, 0, 0, 0, 0, False): 3.24,
+    (7, False, 0, 3, 0, 0, 0, 0, True): 3.01,
+    (7, False, 0, 1, 1, 0, 0, 0, False): 12.36,
+    (7, False, 0, 0, 0, 1, 0, 0, False): 23.79,
+    (7, False, 0, 1, 2, 0, 0, 0, False): 11.68,
+    (7, False, 0, 0, 1, 1, 0, 0, False): 13.60,
+    (7, False, 0, 2, 0, 0, 0, 1, False): 12.03,
+    (7, False, 0, 2, 0, 0, 0, 1, True): 21.94,
+    (7, False, 0, 0, 1, 0, 0, 1, False): 23.85,
+    (7, False, 0, 1, 0, 0, 0, 2, False): 26.02,
+    (7, False, 1, 4, 0, 0, 0, 0, False): 0.00,
+    (7, False, 1, 2, 1, 0, 0, 0, False): 3.01,
+    (7, False, 1, 1, 0, 1, 0, 0, False): 4.36,
+    (7, False, 1, 3, 0, 0, 0, 1, False): 4.44,
+    (7, False, 1, 1, 1, 0, 0, 1, False): 13.97,
+    (7, False, 1, 2, 0, 0, 0, 2, False): 16.61,
+    (7, False, 1, 0, 1, 0, 0, 2, False): 25.59,
+    (7, False, 1, 1, 0, 0, 0, 3, False): 27.64,
+    (7, True, 0, 0, 0, 0, 2, 0, False): 12.89,
+    (7, True, 0, 0, 0, 0, 3, 0, False): 4.41,
+    (7, True, 0, 1, 0, 0, 2, 0, False): 4.93,
+    (7, True, 0, 0, 1, 0, 2, 0, False): 8.39,
+    (7, True, 0, 0, 0, 0, 2, 1, False): 15.79,
+    (7, True, 1, 0, 0, 0, 3, 0, False): 4.10,
+    (7, True, 1, 1, 0, 0, 2, 0, False): 3.88,
+    (7, True, 1, 0, 0, 0, 2, 1, False): 14.14,
+    (8, False, 0, 2, 0, 0, 0, 0, False): 9.23,
+    (8, False, 0, 2, 0, 0, 0, 0, True): 12.53,
+    (8, False, 0, 0, 1, 0, 0, 0, False): 17.07,
+    (8, False, 0, 1, 0, 0, 0, 1, False): 20.23,
+    (8, False, -1, 1, 0, 0, 0, 0, False): 23.06,
+    (8, True, 0, 0, 0, 0, 2, 0, False): 13.14,
+}
+_TPSA_SP = {
+    (16, False, 0, 2, 0, 0, 0, 0, False): 25.30,
+    (16, False, 0, 0, 1, 0, 0, 0, False): 32.09,
+    (16, False, 0, 2, 1, 0, 0, 0, False): 19.21,
+    (16, False, 0, 2, 2, 0, 0, 0, False): 8.38,
+    (16, False, 0, 1, 0, 0, 0, 1, False): 38.80,
+    (16, True, 0, 0, 0, 0, 2, 0, False): 28.24,
+    (16, True, 0, 0, 1, 0, 2, 0, False): 21.70,
+    (15, False, 0, 3, 0, 0, 0, 0, False): 13.59,
+    (15, False, 0, 1, 1, 0, 0, 0, False): 34.14,
+    (15, False, 0, 3, 1, 0, 0, 0, False): 9.81,
+    (15, False, 0, 2, 1, 0, 0, 1, False): 23.47,
+}
+
+
+def _atom_env(mol: Molecule, a: int, hs, arom, ring3) -> tuple:
+    """Bond-environment key for the Ertl table (heavy neighbours only)."""
+    s = d = t = ar = 0
+    in_arom_ring = bool(arom[a])
+    for n in mol.neighbors(a):
+        if int(mol.atomic_num[n]) == 1:
+            continue
+        data = mol.graph.get_edge_data(a, n)
+        o = int(data["order"])
+        is_ar = bool(data["aromatic"]) or (in_arom_ring and arom[n] and _same_ring(mol, a, n))
+        if is_ar:
+            ar += 1
+        elif o == 1:
+            s += 1
+        elif o == 2:
+            d += 1
+        elif o == 3:
+            t += 1
+    return (
+        int(mol.atomic_num[a]), in_arom_ring, int(mol.formal_charge[a]),
+        s, d, t, ar, int(hs[a]), a in ring3,
+    )
+
+
+def _same_ring(mol: Molecule, i: int, j: int) -> bool:
+    return any(i in r and j in r for r in map(set, mol.rings))
+
+
+def tpsa(mol: Molecule, include_sp: bool = False) -> float:
     hs = mol._h_count()
     arom = mol.aromatic
+    ring3 = {a for r in mol.rings if len(r) == 3 for a in r}
+    table = dict(_TPSA)
+    if include_sp:
+        table.update(_TPSA_SP)
     total = 0.0
     for a in range(mol.num_atoms):
         z = int(mol.atomic_num[a])
-        if z not in (7, 8):
+        if z not in (7, 8) and not (include_sp and z in (15, 16)):
             continue
-        nh = int(hs[a])
-        deg = len(mol.neighbors(a))
-        n_double = sum(1 for n in mol.neighbors(a) if _bond_order(mol, a, n) == 2)
-        n_triple = sum(1 for n in mol.neighbors(a) if _bond_order(mol, a, n) == 3)
-        chg = int(mol.formal_charge[a])
-        if z == 7:
-            if arom[a]:
-                if nh == 0:
-                    total += 12.89 if chg == 0 else 4.10
-                else:
-                    total += 15.79 if chg == 0 else 14.14
-            elif n_triple:
-                total += 23.79
-            elif n_double and deg == 1:
-                total += 23.85  # imine =N-H family
-            elif n_double:
-                total += 12.36
-            elif chg > 0:
-                total += (27.64, 16.61, 4.44, 0.0)[min(3, 3 - nh)] if nh else 0.0
-            elif nh >= 2:
-                total += 26.02
-            elif nh == 1:
-                total += 12.03
+        key = _atom_env(mol, a, hs, arom, ring3)
+        contrib = table.get(key)
+        if contrib is None and key[-1]:  # 3-ring variant absent -> plain
+            contrib = table.get(key[:-1] + (False,))
+        if contrib is None:
+            # RDKit's fallback estimate for unmatched N/O environments
+            x = key[3] + key[4] + key[5] + key[6] + key[7]
+            if z == 7:
+                contrib = max(0.0, 30.5 - x * 8.2 + key[7] * 1.5)
+            elif z == 8:
+                contrib = max(0.0, 28.5 - x * 8.6 + key[7] * 1.5)
             else:
-                total += 3.24
-        else:  # oxygen
-            if arom[a]:
-                total += 13.14
-            elif chg < 0:
-                total += 23.06
-            elif n_double:
-                total += 17.07
-            elif nh > 0:
-                total += 20.23
-            else:
-                total += 9.23
+                contrib = 0.0
+        total += contrib
     return float(total)
 
 

@@ -58,7 +58,11 @@ class EmbeddingConfig:
     norm_type: str = "rms_norm_sh"
     basis_width_scalar: float = 20.0
     remat: bool = True
-    remat_policy: str = "full"  # 'full' recomputes everything; 'dots' saves matmuls
+    # 'full' recomputes everything; 'dots' saves matmuls; 's2' saves every
+    # residual EXCEPT the S2-grid activations (the only ~GB-scale tensors,
+    # tagged via checkpoint_name in layers.s2_activation) — cheapest backward
+    # that still fits HBM at the flagship batch.
+    remat_policy: str = "s2"
     avg_degree: float = 23.395238876342773  # reference Embedding.py:36
 
 

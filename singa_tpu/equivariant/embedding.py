@@ -67,6 +67,9 @@ class EquivariantEmbedding(nn.Module):
             policy = {
                 "full": None,
                 "dots": _jax.checkpoint_policies.checkpoint_dots,
+                "s2": _jax.checkpoint_policies.save_anything_except_these_names(
+                    "s2_grid"
+                ),
             }.get(self.config.remat_policy, None)
             block_cls = nn.remat(TransBlock, policy=policy)
         else:
@@ -109,8 +112,8 @@ class EquivariantEmbedding(nn.Module):
         x_edge = jnp.concatenate(
             [x_edge.astype(src_emb.dtype), src_emb, dst_emb], axis=-1
         )
-        wigner = so3.edge_wigner(vec, cfg.lmax, cfg.mmax, dtype=pos_src.dtype)
-        return x_edge, wigner
+        frame = so3.edge_frame(vec)
+        return x_edge, frame
 
     def _base_features(self, x: jax.Array, z: jax.Array) -> jax.Array:
         cfg = self.config

@@ -293,14 +293,13 @@ def gate_activation(
 def s2_activation(x: jax.Array, lmax: int, mmax: int) -> jax.Array:
     """Pointwise SiLU on the sphere grid (EF_layers.py:1736-1754).
 
-    A fused Pallas kernel exists (singa_tpu/ops/pallas/s2_act.py) that would
-    keep the [N, G, C] grid tensor in VMEM — the XLA einsum pair materialises
-    it in HBM (~3 GB per FFN call at the flagship config, ~20% of the step in
-    the round-2 profile). It stays OPT-IN (SINGA_TPU_PALLAS=1): the axon
-    remote-compile service stalls indefinitely on ANY Mosaic kernel that
-    touches the MXU (re-verified this round with a minimal 128x128 dot
-    kernel; elementwise kernels do compile, in ~100 s). Parity is covered by
-    tests in interpret mode either way."""
+    A fused Pallas kernel exists (singa_tpu/ops/pallas/s2_act.py) that keeps
+    the [N, G, C] grid tensor in VMEM — the XLA einsum pair materialises it
+    in HBM (~GBs per FFN call at the flagship config). With the ragged-block
+    tiling fix it now compiles and runs on the axon TPU (earlier stalls were
+    a degenerate ~280 MB VMEM block, not a Mosaic limitation). It stays
+    opt-in (SINGA_TPU_PALLAS=1) pending an end-to-end win over the XLA path;
+    parity is covered by tests in interpret mode either way."""
     import os
 
     grid = get_grid(lmax, mmax)
@@ -308,7 +307,13 @@ def s2_activation(x: jax.Array, lmax: int, mmax: int) -> jax.Array:
         from singa_tpu.ops.pallas.s2_act import s2_silu
 
         return s2_silu(x, grid.to_grid_mat, grid.from_grid_mat)
-    return grid.from_grid(jax.nn.silu(grid.to_grid(x)))
+    # tag the [N, G, C] grid tensors so remat policies can exclude exactly
+    # them (they are ~10x the size of any other residual in the block)
+    from jax.ad_checkpoint import checkpoint_name
+
+    g = checkpoint_name(grid.to_grid(x), "s2_grid")
+    h = checkpoint_name(jax.nn.silu(g), "s2_grid")
+    return grid.from_grid(h)
 
 
 def separable_s2_activation(
@@ -399,34 +404,33 @@ class SO2Conv(nn.Module):
                 )
             )
 
-        # ---- assemble the block weight [in_w, out_w] ----
+        # ---- one matmul per order m, on contiguous m-primary slices ----
+        # A single dense block-embedded weight [in_w, out_w] (round-1 design)
+        # costs ~3x the true block FLOPs at the flagship shapes because the
+        # off-block zeros are multiplied anyway; per-m matmuls do exactly the
+        # block work and every slice keeps >=128 output lanes on the MXU.
+        del in_w, out_w  # shape bookkeeping only
         dt = compute_dtype()
-        W = jnp.zeros((in_w, out_w), dt)
-        W = W.at[: n0 * c_in, : n0 * F].set(w0[:, : n0 * F].astype(dt))
-        if extra:
-            W = W.at[: n0 * c_in, n_trunc * F :].set(w0[:, n0 * F :].astype(dt))
-        r_off = n0 * c_in
-        c_off = n0 * F
+        x0 = xm[:, : n0 * c_in].astype(dt)
+        y0 = x0 @ w0.astype(dt) + b0.astype(dt)
+        outs = [y0[:, : n0 * F]]
+        off = n0 * c_in
         for m in range(1, self.mmax + 1):
             sz = m_sizes[m]
             K = k_m[m - 1].astype(dt)
             K_r, K_i = K[:, : sz * F], K[:, sz * F :]
-            rc, rs = r_off, r_off + sz * c_in
-            cc, cs = c_off, c_off + sz * F
-            W = W.at[rc:rs, cc:cs].set(K_r)
-            W = W.at[rs : rs + sz * c_in, cc:cs].set(-K_i)
-            W = W.at[rc:rs, cs : cs + sz * F].set(K_i)
-            W = W.at[rs : rs + sz * c_in, cs : cs + sz * F].set(K_r)
-            r_off += 2 * sz * c_in
-            c_off += 2 * sz * F
-
-        bias = jnp.zeros((out_w,), dt)
-        bias = bias.at[: n0 * F].set(b0[: n0 * F].astype(dt))
+            # complex pair convolution [cos; sin] @ [[K_r, K_i], [-K_i, K_r]]
+            W_m = jnp.concatenate(
+                [
+                    jnp.concatenate([K_r, K_i], axis=1),
+                    jnp.concatenate([-K_i, K_r], axis=1),
+                ],
+                axis=0,
+            )
+            outs.append(xm[:, off : off + 2 * sz * c_in].astype(dt) @ W_m)
+            off += 2 * sz * c_in
+        y = jnp.concatenate(outs, axis=-1)
+        out = mapping.to_l_primary(y.reshape(E, n_trunc, F))
         if extra:
-            bias = bias.at[n_trunc * F :].set(b0[n0 * F :].astype(dt))
-
-        y = xm.astype(dt) @ W + bias
-        out = mapping.to_l_primary(y[:, : n_trunc * F].reshape(E, n_trunc, F))
-        if extra:
-            return out, y[:, n_trunc * F :]
+            return out, y0[:, n0 * F :]
         return out

@@ -13,6 +13,7 @@ as numpy constants.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -173,12 +174,88 @@ def edge_wigner(edge_vec: jax.Array, lmax: int, mmax: int, dtype=jnp.float32):
     return pad_wigner_blocks(blocks, lmax, mmax)
 
 
-def rotate(wigner: jax.Array, x: jax.Array, lmax: int, mmax: int) -> jax.Array:
+class EdgeFrame(NamedTuple):
+    """Per-edge frame as (azimuth, polar) angles: the frame rotation is
+    ``R = Ry(-beta) Rz(-phi)``, which maps the edge direction onto +z with
+    ZERO residual z-rotation (gamma == 0 in the ZYZ factorisation).
+
+    Replaces the padded per-edge Wigner tensor of the round-1 design: the
+    Wigner application factorises as ``D = J Z(-beta) J^T Z(-phi)`` where
+    ``Z`` is an elementwise (cos, sin, flip) combine and ``J`` is one
+    CONSTANT dense matrix shared by all edges — two clean MXU matmuls
+    instead of per-(edge, l) micro-batched einsums (which ran at ~0 FLOPs
+    for 10 ms each in the round-2 profile). The azimuthal gauge differs
+    from the round-1 aux-vector frames; the architecture is gauge-covariant
+    (the SO(2) convolutions commute with Z rotations), so this changes the
+    model only through S2-grid aliasing, below test tolerance.
+    """
+
+    phi: jax.Array  # [E]
+    beta: jax.Array  # [E]
+
+
+@functools.lru_cache(maxsize=None)
+class _JLayout:
+    """Constants for J-factorised rotations at one (lmax, mmax)."""
+
+    def __init__(self, lmax: int, mmax: int):
+        from singa_tpu.equivariant.wigner import _load_jd
+
+        jd = _load_jd()
+        n_full = num_coeffs(lmax)
+        J = np.zeros((n_full, n_full), np.float32)
+        for l in range(lmax + 1):
+            s = l * l
+            J[s : s + 2 * l + 1, s : s + 2 * l + 1] = jd[l]
+        self.J = J
+        keep = []
+        for l in range(lmax + 1):
+            mm = min(l, mmax)
+            for m in range(-mm, mm + 1):
+                keep.append(l * l + (m + l))
+        self.J_kept = J[np.asarray(keep, np.int32)]  # [n_trunc, n_full]
+        self.m_of = np.concatenate(
+            [np.arange(-l, l + 1) for l in range(lmax + 1)]
+        ).astype(np.float32)
+        self.flip = np.concatenate(
+            [l * l + np.arange(2 * l, -1, -1) for l in range(lmax + 1)]
+        ).astype(np.int32)
+        self.inv_rescale = CoefficientMapping(lmax, mmax).rotate_inv_rescale
+
+
+def edge_frame(edge_vec: jax.Array, eps: float = 1e-8) -> EdgeFrame:
+    """Deterministic gamma-free edge frame angles from edge vectors [E, 3]."""
+    v = edge_vec.astype(jnp.float32)
+    n = jnp.linalg.norm(v, axis=-1)
+    vn = v / jnp.maximum(n, eps)[:, None]
+    beta = jnp.arccos(jnp.clip(vn[:, 2], -1.0, 1.0))
+    phi = jnp.where(n > eps, jnp.arctan2(vn[:, 1], vn[:, 0]), 0.0)
+    return EdgeFrame(phi=phi, beta=beta)
+
+
+def _z_combine(theta: jax.Array, t: jax.Array, m_of, flip) -> jax.Array:
+    """Apply the z-rotation Z(theta) to l-primary features [E, coeffs, C]."""
+    cm = jnp.cos(m_of[None] * theta[:, None]).astype(t.dtype)
+    sm = jnp.sin(m_of[None] * theta[:, None]).astype(t.dtype)
+    return cm[..., None] * t - sm[..., None] * jnp.take(t, flip, axis=1)
+
+
+def rotate(frame, x: jax.Array, lmax: int, mmax: int) -> jax.Array:
     """Rotate full l-primary features into the (truncated) edge frame.
 
-    ``wigner``: padded ``[E, L, K, N]``; ``x``: ``[E, (lmax+1)^2, C]`` ->
-    ``[E, n_trunc, C]``. One einsum over all degrees.
+    ``frame``: an EdgeFrame (J-factorised fast path) or a padded Wigner
+    tensor ``[E, L, K, N]`` (explicit path, tests). ``x``:
+    ``[E, (lmax+1)^2, C]`` -> ``[E, n_trunc, C]``.
     """
+    if isinstance(frame, EdgeFrame):
+        lay = _JLayout(lmax, mmax)
+        dt = x.dtype
+        m_of = jnp.asarray(lay.m_of)
+        t = _z_combine(-frame.phi, x, m_of, lay.flip)
+        t = jnp.einsum("ij,ejc->eic", jnp.asarray(lay.J.T, dt), t)
+        t = _z_combine(-frame.beta, t, m_of, lay.flip)
+        return jnp.einsum("kj,ejc->ekc", jnp.asarray(lay.J_kept, dt), t)
+    wigner = frame
     lay = _PaddedLayout(lmax, mmax)
     E, _, C = x.shape
     x_pad = jnp.concatenate([x, jnp.zeros((E, 1, C), x.dtype)], axis=1)
@@ -189,7 +266,7 @@ def rotate(wigner: jax.Array, x: jax.Array, lmax: int, mmax: int) -> jax.Array:
 
 
 def rotate_inv(
-    wigner: jax.Array,
+    frame,
     x: jax.Array,
     lmax: int,
     mmax: int,
@@ -198,6 +275,18 @@ def rotate_inv(
     """Rotate truncated edge-frame features back: ``[E, n_trunc, C] ->
     [E, full, C]`` via D^T, with the reference's m-truncation rescale
     (EF_layers.py:1530-1549)."""
+    if isinstance(frame, EdgeFrame):
+        lay = _JLayout(lmax, mmax)
+        dt = x.dtype
+        m_of = jnp.asarray(lay.m_of)
+        t = jnp.einsum("kj,ekc->ejc", jnp.asarray(lay.J_kept, dt), x)
+        t = _z_combine(frame.beta, t, m_of, lay.flip)
+        t = jnp.einsum("ij,ejc->eic", jnp.asarray(lay.J, dt), t)
+        t = _z_combine(frame.phi, t, m_of, lay.flip)
+        if rescale:
+            t = t * jnp.asarray(lay.inv_rescale, dt)[None, :, None]
+        return t
+    wigner = frame
     lay = _PaddedLayout(lmax, mmax)
     E, _, C = x.shape
     x_pad = jnp.concatenate([x, jnp.zeros((E, 1, C), x.dtype)], axis=1)

@@ -28,7 +28,6 @@ from singa_tpu.config import EncoderConfig
 from singa_tpu.dtypes import compute_dtype
 from singa_tpu.equivariant.layers import Linear, torch_linear_kernel_init
 from singa_tpu.models.cpromg import EdgeMLP, PositionwiseFFN, shifted_softplus
-from singa_tpu.ops.knn import knn_neighbors
 from singa_tpu.ops.smearing import gaussian_smearing
 
 
@@ -47,13 +46,22 @@ def build_dense_graph(
     edge_channels: int,
 ) -> DenseGraph:
     B, N, _ = pos.shape
-    idx, valid = knn_neighbors(pos, mask, k)
-    onehot = jax.nn.one_hot(idx, N, dtype=jnp.float32) * valid[..., None]
-    adj_dir = onehot.sum(axis=2) > 0  # [B, N, N] directed kNN
+    # directed kNN as a distance-threshold test against the k-th smallest
+    # row distance — O(N^2) elementwise, replacing the round-1 one-hot
+    # construction whose [B, N, k, N] tensor cost ~900 MB at the flagship
+    # shapes. Ties at the k-th distance admit both neighbours (measure-zero
+    # difference vs exact top-k index sets).
+    n2 = jnp.sum(pos * pos, axis=-1)
+    d2 = n2[:, :, None] - 2.0 * jnp.einsum("bnc,bmc->bnm", pos, pos) + n2[:, None, :]
+    d2 = jnp.maximum(d2, 0.0)
+    valid_pair = mask[:, :, None] & mask[:, None, :]
+    eye = jnp.eye(N, dtype=bool)[None]
+    big = jnp.asarray(1e30, d2.dtype)
+    d2m = jnp.where(valid_pair & ~eye, d2, big)
+    kth = -jax.lax.top_k(-d2m, k)[0][..., -1:]  # [B, N, 1]
+    adj_dir = (d2m <= kth) & (d2m < big)
     adj = adj_dir | jnp.swapaxes(adj_dir, 1, 2)
-    adj = adj & mask[:, :, None] & mask[:, None, :]
-    diff = pos[:, :, None, :] - pos[:, None, :, :]
-    dist = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 1e-12))
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
     smear = gaussian_smearing(dist, 0.0, smear_stop, edge_channels)
     deg = (smear * adj[..., None]).sum(axis=2)  # [B, N, De]
     return DenseGraph(dist=dist, adj=adj, deg_attr=deg, node_mask=mask)

@@ -53,15 +53,13 @@ def _bwd_kernel(x_ref, g_ref, tg_ref, fg_ref, out_ref):
 
 def _tile_sizes(n: int, c: int, g: int, i: int):
     tc = 128 if c % 128 == 0 else c
-    # keep the VMEM grid tensor under ~4MB: tn * g * tc * 4B
+    # keep the VMEM grid tensor under ~4MB: tn * g * tc * 4B. Ragged final
+    # blocks are fine (pl.cdiv grid; padding rows give silu(0) == 0 exactly) —
+    # the round-1 divisibility fallback could degenerate to tn == n, putting a
+    # ~280 MB block in VMEM, which stalled the Mosaic compile indefinitely.
     budget = 4 * 1024 * 1024 // max(1, g * tc * 4)
-    tn = max(8, min(128, budget))
-    while n % tn:
-        tn //= 2
-        if tn < 8:
-            tn = n  # small n: single block
-            break
-    return tn, tc
+    tn = max(8, min(128, (budget // 8) * 8))
+    return min(tn, n), tc
 
 
 def _call(kernel, out_dtype, x, *args, to_grid, from_grid, interpret):

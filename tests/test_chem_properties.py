@@ -51,6 +51,32 @@ def test_tpsa_counts_polar_atoms():
     np.testing.assert_allclose(tpsa(_glycerol()), 3 * 20.23, rtol=0.01)
 
 
+def test_tpsa_rdkit_pins():
+    """Full Ertl table: exact RDKit CalcTPSA values on known molecules.
+
+    Nitrobenzene pins RDKit's charge-separated nitro perception (43.14), not
+    the PubChem/Cactvs pentavalent-N value (45.82) — the reference stack is
+    RDKit (utils/PLParser.py:385)."""
+    from singa_tpu.chem.smiles_parser import parse_smiles
+
+    pins = {
+        "CCO": 20.23,
+        "c1ccccc1": 0.0,
+        "CC(=O)Oc1ccccc1C(=O)O": 63.60,  # aspirin
+        "Cn1cnc2c1c(=O)n(C)c(=O)n2C": 61.82,  # caffeine
+        "CC(=O)Nc1ccc(O)cc1": 49.33,  # paracetamol
+        "CC(C)Cc1ccc(cc1)C(C)C(=O)O": 37.30,  # ibuprofen
+        "CN1CCCC1c1cccnc1": 16.13,  # nicotine
+        "NCC(=O)O": 63.32,  # glycine
+        "c1ccc2[nH]ccc2c1": 15.79,  # indole
+        "O=[N+]([O-])c1ccccc1": 43.14,  # nitrobenzene (RDKit form)
+        "N#Cc1ccccc1": 23.79,  # benzonitrile
+        "NS(=O)(=O)c1ccccc1": 60.16,  # benzenesulfonamide
+    }
+    for smi, want in pins.items():
+        assert abs(tpsa(parse_smiles(smi)) - want) < 0.02, smi
+
+
 def test_hba_hbd():
     g = _glycerol()
     assert hba(g) == 3
