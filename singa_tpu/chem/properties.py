@@ -14,12 +14,12 @@ published methods with documented approximations:
 * QED   — Bickerton (2012) weighted desirability product with the published
   ADS parameters; ALERTS uses a reduced structural-alert set.
 * SA    — Ertl & Schuffenhauer complexity terms (ring/stereo/macrocycle/size/
-  symmetry). The fragment-frequency term needs a Morgan-fragment database
-  keyed by RDKit hashes (reference utils/fpscores.pkl.gz) which cannot be
-  reused without RDKit; instead the fragment term is approximated from local
-  atom-environment rarity. Absolute values differ from RDKit's scorer but
-  the 1-10 scale and complexity ordering are preserved; ETL labels and the
-  <4.0 conditioning threshold (model/GAN.py:40) stay self-consistent.
+  symmetry) plus a real Morgan-fragment frequency term: circular-environment
+  hashes (chem/morgan.py) scored against a frequency table generated from an
+  embedded corpus of ~150 approved drugs/biomolecules (tools/gen_sa_db.py) —
+  the in-repo analogue of the reference's fpscores.pkl.gz. The 1-10 scale,
+  ordering and the <4.0 conditioning threshold (model/GAN.py:40) behave like
+  the reference's scorer; absolute values differ by hash/corpus (documented).
 """
 from __future__ import annotations
 
@@ -105,11 +105,18 @@ def _bond_order(mol: Molecule, i: int, j: int) -> int:
 
 
 def logp(mol: Molecule) -> float:
-    total = sum(_CRIPPEN[_atom_logp_class(mol, a)] for a in range(mol.num_atoms))
-    # implicit hydrogens
-    implicit = mol._h_count() - mol._explicit_h()
-    total += float(implicit.sum()) * _CRIPPEN["H"]
-    return float(total)
+    """Full Wildman-Crippen logP (chem/crippen.py, all 68 published atom
+    types; literature-pinned tests). The reduced table above is kept only as
+    the documented fallback for exotic molecules the full typer rejects."""
+    from singa_tpu.chem.crippen import crippen_logp
+
+    try:
+        return float(crippen_logp(mol))
+    except Exception:
+        total = sum(_CRIPPEN[_atom_logp_class(mol, a)] for a in range(mol.num_atoms))
+        implicit = mol._h_count() - mol._explicit_h()
+        total += float(implicit.sum()) * _CRIPPEN["H"]
+        return float(total)
 
 
 # ---------------- TPSA (Ertl 2000, full fragment table) ----------------
@@ -340,49 +347,66 @@ def qed(mol: Molecule) -> float:
     return float(math.exp(num / sum(_QED_WEIGHTS.values())))
 
 
-# ---------------- SA score (complexity terms) ----------------
+# ---------------- SA score (Ertl & Schuffenhauer) ----------------
 
 def sa_score(mol: Molecule) -> float:
+    """Ertl & Schuffenhauer synthetic accessibility (reference
+    utils/SAScorer.py): Morgan-fragment frequency term (chem/morgan.py; table
+    generated by tools/gen_sa_db.py from an embedded drug corpus — the
+    in-repo analogue of fpscores.pkl.gz) combined with the published
+    complexity penalties (size, fused/macro rings, stereo proxy, symmetry),
+    mapped to the 1-10 scale. Absolute parity with RDKit's scorer is bounded
+    by the different hash + corpus; the scale, ordering and the <4.0
+    conditioning threshold (model/GAN.py:40) behave equivalently (tests pin
+    simple drugs <3.5 and complex polycyclics higher)."""
+    from singa_tpu.chem.morgan import fragment_score
+
     n = mol.num_atoms
     if n == 0:
         return 10.0
-    # fragment-rarity proxy: penalise uncommon local environments
-    rare = 0.0
     hyb = mol.hybridization
-    for a in range(n):
-        z = int(mol.atomic_num[a])
-        deg = len(mol.neighbors(a))
-        if z not in (6, 7, 8):
-            rare += 0.4
-        if deg >= 4:
-            rare += 0.25
-        if z == 6 and hyb[a] == 1:
-            rare += 0.3
-        if int(mol.formal_charge[a]) != 0:
-            rare += 0.2
-    frag_penalty = rare / max(n, 1) * 4.0
+    # fragment term in [-4, 0.5]: 0 = ubiquitous drug motifs, -4 = unseen
+    frag_penalty = -fragment_score(mol)
 
-    # ring complexity
-    rings = mol.rings
-    ring_info = [len(r) for r in rings]
-    n_macro = sum(1 for s in ring_info if s > 8)
-    # fused/bridged: atoms in >1 ring
-    counts = np.zeros(n)
+    # ring topology, as Ertl classifies it: fused rings (sharing an edge) are
+    # unpenalised; spiro atoms (rings sharing exactly one atom) and bridged
+    # systems (sharing 3+ atoms, e.g. norbornane/morphinan cores) are hard
+    rings = [set(r) for r in mol.rings]
+    n_macro = sum(1 for r in rings if len(r) > 8)
+    n_spiro = 0
+    bridgeheads: set[int] = set()
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            shared = rings[i] & rings[j]
+            if len(shared) == 1:
+                n_spiro += 1
+            elif len(shared) > 2:
+                bridgeheads |= shared
+    ring_penalty = (
+        math.log10(n_spiro + 1)
+        + math.log10(len(bridgeheads) + 1)
+        + math.log10(n_macro + 1) * 2
+    )
+
+    # stereocentre proxy: sp3 ring-junction atoms (cis/trans-defined) plus
+    # acyclic sp3 carbons whose neighbourhood is element-asymmetric
+    in_n_rings = np.zeros(n, np.int32)
     for r in rings:
-        counts[r] += 1
-    n_bridge = int((counts > 1).sum())
-    ring_penalty = math.log10(n_bridge + 1) + math.log10(n_macro + 1) * 2
-
-    # stereo proxy: sp3 carbons with 4 distinct heavy neighbours
+        for a in r:
+            in_n_rings[a] += 1
     stereo = 0
     for a in range(n):
-        if int(mol.atomic_num[a]) == 6 and hyb[a] == 3 and len(mol.neighbors(a)) >= 3:
+        if int(mol.atomic_num[a]) != 6 or hyb[a] != 3:
+            continue
+        if in_n_rings[a] >= 2:
+            stereo += 1
+        elif len(mol.neighbors(a)) >= 3:
             zs = sorted(int(mol.atomic_num[x]) for x in mol.neighbors(a))
             if len(set(zs)) >= 3:
                 stereo += 1
     stereo_penalty = math.log10(stereo + 1)
 
-    size_penalty = n**1.005 - n
+    size_penalty = n ** 1.005 - n
     # symmetry bonus: repeated environments
     env = {}
     for a in range(n):
@@ -394,10 +418,10 @@ def sa_score(mol: Molecule) -> float:
         symmetry_bonus = -0.5 * (1.0 - frac_unique)
 
     raw = (
-        1.0
-        + frag_penalty
-        + ring_penalty
-        + stereo_penalty
+        1.8
+        + 1.6 * frag_penalty
+        + 1.2 * ring_penalty
+        + 1.1 * stereo_penalty
         + size_penalty * 0.005
         + symmetry_bonus
     )

@@ -53,6 +53,11 @@ class BatchTables(NamedTuple):
 
     intra: jax.Array  # [B, Np+Nl, K_intra] int32
     inter: jax.Array  # [B, Np+Nl, K_inter] int32
+    # source-side tables (same layout): the transpose of a source gather is a
+    # sum over the source's outgoing edges; with these tables that transpose
+    # is a gather+reduce instead of an HLO scatter-add (ops/neighbors.py)
+    intra_src: jax.Array | None = None
+    inter_src: jax.Array | None = None
 
 
 class ComplexBatch(NamedTuple):
@@ -100,16 +105,34 @@ def attach_tables(
 
     # merged layouts must mirror EquivariantEmbedding.__call__
     intra_dst = np.concatenate([pp_i[..., 1], ll_i[..., 1] + n_p], axis=1)
+    intra_src = np.concatenate([pp_i[..., 0], ll_i[..., 0] + n_p], axis=1)
     intra_mask = np.concatenate(
         [np.asarray(batch.pp.mask), np.asarray(batch.ll.mask)], axis=1
     )
     inter_dst = np.concatenate([lp_i[..., 1], pl_i[..., 1] + n_p], axis=1)
+    inter_src = np.concatenate([lp_i[..., 0] + n_p, pl_i[..., 0]], axis=1)
     inter_mask = np.concatenate(
         [np.asarray(batch.lp.mask), np.asarray(batch.pl.mask)], axis=1
     )
 
-    intra_tbl, intra_kept, _ = build_dst_table(intra_dst, intra_mask, n_c, k_intra)
-    inter_tbl, inter_kept, _ = build_dst_table(inter_dst, inter_mask, n_c, k_inter)
+    def _both_tables(dst, src, mask, k):
+        """dst + src tables over the same kept mask: drops from either side
+        shrink the mask, then both tables are rebuilt so no table references a
+        dropped edge (a kept-but-untabulated edge would silently lose its
+        forward contribution or its gradient)."""
+        _, kept, _ = build_dst_table(dst, mask, n_c, k)
+        _, kept, _ = build_dst_table(src, kept, n_c, k)
+        dst_tbl, kept2, d1 = build_dst_table(dst, kept, n_c, k)
+        src_tbl, kept3, d2 = build_dst_table(src, kept2, n_c, k)
+        assert d1 == 0 and d2 == 0 and (kept3 == kept).all()
+        return dst_tbl, src_tbl, kept
+
+    intra_tbl, intra_src_tbl, intra_kept = _both_tables(
+        intra_dst, intra_src, intra_mask, k_intra
+    )
+    inter_tbl, inter_src_tbl, inter_kept = _both_tables(
+        inter_dst, inter_src, inter_mask, k_inter
+    )
 
     e_pp = pp_i.shape[1]
     e_lp = lp_i.shape[1]
@@ -122,7 +145,12 @@ def attach_tables(
         ll=ll,
         lp=lp,
         pl=pl,
-        tables=BatchTables(intra=jnp.asarray(intra_tbl), inter=jnp.asarray(inter_tbl)),
+        tables=BatchTables(
+            intra=jnp.asarray(intra_tbl),
+            inter=jnp.asarray(inter_tbl),
+            intra_src=jnp.asarray(intra_src_tbl),
+            inter_src=jnp.asarray(inter_src_tbl),
+        ),
     )
 
 

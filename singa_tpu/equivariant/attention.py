@@ -54,12 +54,19 @@ class EdgeDegreeEmbedding(nn.Module):
             x_edge
         )
         rad = rad.reshape(-1, n0, self.sphere_channels)
-        # place radial outputs on the m=0 coefficients of the truncated layout
-        x = jnp.zeros(
-            (x_edge.shape[0], mapping.n_trunc, self.sphere_channels), rad.dtype
+        # in the m-primary layout the m=0 block is the FIRST n0 contiguous
+        # rows: a concat instead of the scatter the l-primary layout needed
+        x = jnp.concatenate(
+            [
+                rad,
+                jnp.zeros(
+                    (x_edge.shape[0], mapping.n_trunc - n0, self.sphere_channels),
+                    rad.dtype,
+                ),
+            ],
+            axis=1,
         )
-        x = x.at[:, mapping.m0_trunc, :].set(rad)
-        x = so3.rotate_inv(wigner, x, self.lmax, self.mmax)
+        x = so3.rotate_inv(wigner, x, self.lmax, self.mmax, m_primary=True)
         out = edges.scatter_dst(x)
         return out / self.rescale_factor
 
@@ -74,9 +81,16 @@ class FeedForwardNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from jax.ad_checkpoint import checkpoint_name
+
         gating = Linear(self.hidden_channels)(x[:, 0, :])
         h = SO3Linear(self.hidden_channels, lmax=self.lmax)(x)
+        # the whole wide chain ([N, 49, hidden] and the grids inside the
+        # activation) is tagged for recompute under the 's2' remat policy;
+        # only the narrow [N, 49, C] input/output survive to the backward
+        h = checkpoint_name(h, "s2_grid")
         h = separable_s2_activation(gating, h, self.lmax, self.lmax)
+        h = checkpoint_name(h, "s2_grid")
         return SO3Linear(self.output_channels, lmax=self.lmax)(h)
 
 
@@ -107,7 +121,10 @@ class GraphAttention(nn.Module):
         xs = edges.gather_src(x_src)
         xt = edges.gather_dst(x_dst)
         msg = jnp.concatenate([xs, xt], axis=-1)  # [E, coeffs, 2C]
-        msg = so3.rotate(wigner, msg, self.lmax, self.mmax)
+        # the whole edge-frame chain runs m-primary: every layout permutation
+        # is folded into the constant matrices on either side (J, grids,
+        # per-degree projection weights) — zero per-edge permutation gathers
+        msg = so3.rotate(wigner, msg, self.lmax, self.mmax, m_primary=True)
 
         extra = self.num_heads * self.attn_alpha_channels + self.hidden_channels
         msg, x0_extra = SO2Conv(
@@ -116,18 +133,24 @@ class GraphAttention(nn.Module):
             mmax=self.mmax,
             edge_channels=self.edge_channels,
             extra_m0_features=extra,
+            m_primary_in=True,
+            m_primary_out=True,
             name="so2_conv_1",
         )(msg, x_edge)
 
         alpha_ch = self.num_heads * self.attn_alpha_channels
         x_alpha = x0_extra[:, :alpha_ch]
         gating = x0_extra[:, alpha_ch:]
-        msg = separable_s2_activation(gating, msg, self.lmax, self.mmax)
+        msg = separable_s2_activation(
+            gating, msg, self.lmax, self.mmax, m_primary=True
+        )
 
         msg = SO2Conv(
             features=self.num_heads * self.attn_value_channels,
             lmax=self.lmax,
             mmax=self.mmax,
+            m_primary_in=True,
+            m_primary_out=True,
             name="so2_conv_2",
         )(msg)
 
@@ -164,12 +187,15 @@ class GraphAttention(nn.Module):
         proj_b = self.param("proj_b", nn.initializers.zeros, (self.output_channels,))
         dt = compute_dtype()
         mapping = so3.CoefficientMapping(self.lmax, self.mmax)
-        wt = jnp.take(proj_w.astype(dt), mapping.l_of_trunc, axis=0)
+        l_of_m = mapping.l_of_trunc[mapping.l_to_m]  # per-degree idx, m-primary
+        wt = jnp.take(proj_w.astype(dt), l_of_m, axis=0)
         msg = jnp.einsum("eic,ioc->eio", msg.astype(dt), wt)
 
-        msg = so3.rotate_inv(wigner, msg, self.lmax, self.mmax)
+        msg = so3.rotate_inv(wigner, msg, self.lmax, self.mmax, m_primary=True)
         out = edges.scatter_dst(msg)
-        return out.at[:, 0, :].add(proj_b.astype(out.dtype))
+        from singa_tpu.equivariant.layers import add_l0
+
+        return add_l0(out, proj_b)
 
 
 class TransBlock(nn.Module):

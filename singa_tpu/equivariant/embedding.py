@@ -118,11 +118,11 @@ class EquivariantEmbedding(nn.Module):
     def _base_features(self, x: jax.Array, z: jax.Array) -> jax.Array:
         cfg = self.config
         scal = self.sphere_embedding(z) + self.sphere_embedding_2(_barcode(x))
-        n = x.shape[0]
-        out = jnp.zeros(
-            (n, so3.num_coeffs(cfg.lmax), cfg.sphere_channels), scal.dtype
+        # one-hot outer product instead of .at[:, 0].set on zeros (scatter)
+        e0 = jnp.asarray(
+            np.eye(so3.num_coeffs(cfg.lmax), 1, dtype=np.float32), scal.dtype
         )
-        return out.at[:, 0, :].set(scal)
+        return e0[None] * scal[:, None, :]
 
     def _intra_pass(self, x, z, pos, edges: EdgeEngine):
         x_edge, wigner = self._edge_scalars(pos, pos, z, z, edges)
@@ -177,7 +177,10 @@ class EquivariantEmbedding(nn.Module):
             [batch.pp.index, batch.ll.index + n_p], axis=1
         )
         intra_mask = jnp.concatenate([batch.pp.mask, batch.ll.mask], axis=1)
-        intra = EdgeEngine.create(intra_idx, intra_mask, batch.tables.intra, n_c, n_c)
+        intra = EdgeEngine.create(
+            intra_idx, intra_mask, batch.tables.intra, n_c, n_c,
+            src_table=batch.tables.intra_src,
+        )
         h = self._intra_pass(cx, cz, cpos, intra)
         h = h * cmask[:, None, None]
 
@@ -199,7 +202,10 @@ class EquivariantEmbedding(nn.Module):
         )
         inter_idx = jnp.concatenate([lp_idx, pl_idx], axis=1)
         inter_mask = jnp.concatenate([batch.lp.mask, batch.pl.mask], axis=1)
-        inter = EdgeEngine.create(inter_idx, inter_mask, batch.tables.inter, n_c, n_c)
+        inter = EdgeEngine.create(
+            inter_idx, inter_mask, batch.tables.inter, n_c, n_c,
+            src_table=batch.tables.inter_src,
+        )
         h_inter = self._inter_pass(h, h, cz, cz, cpos, cpos, inter)
 
         h_out = (h + h_inter) * cmask[:, None, None]

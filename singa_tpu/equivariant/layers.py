@@ -10,6 +10,7 @@ training dynamics land in the same regime as the reference.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -97,6 +98,37 @@ class RadialMLP(nn.Module):
         return x
 
 
+def per_degree_linear(x: jax.Array, w: jax.Array, sizes) -> jax.Array:
+    """Per-degree channel mix: x [N, sum(sizes), Cin] with contiguous l-blocks
+    of the given sizes, w [L, F, Cin] -> [N, sum(sizes), F].
+
+    One [N*size_l, Cin] @ [Cin, F] matmul per degree (large M) instead of the
+    einsum against a [coeffs, F, Cin] gather-expanded weight, which XLA ran
+    as `coeffs` tiny batched matmuls (~10 ms per call site in the round-2
+    step profile)."""
+    N = x.shape[0]
+    c_in = x.shape[-1]
+    outs = []
+    off = 0
+    for l, sz in enumerate(sizes):
+        seg = jax.lax.slice_in_dim(x, off, off + sz, axis=1)
+        y = seg.reshape(N * sz, c_in) @ w[l].T
+        outs.append(y.reshape(N, sz, -1))
+        off += sz
+    return jnp.concatenate(outs, axis=1)
+
+
+def add_l0(x: jax.Array, bias: jax.Array) -> jax.Array:
+    """Add a per-channel bias to the l=0 (first) coefficient row.
+
+    ``x.at[:, 0, :].add(bias)`` lowers to an HLO scatter-add that cost
+    ~7.5 ms per call site in the round-2 profile; a broadcast multiply with a
+    constant one-hot row fuses into neighbouring elementwise work instead.
+    """
+    e0 = jnp.asarray(np.eye(x.shape[1], 1, dtype=np.float32), x.dtype)
+    return x + e0 * bias.astype(x.dtype)[None, None, :]
+
+
 class SO3Linear(nn.Module):
     """Per-degree linear map with bias on the l=0 scalars.
 
@@ -119,11 +151,14 @@ class SO3Linear(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         dt = compute_dtype()
+        # NOTE: an l-grouped 7-matmul variant (per_degree_linear) was tried in
+        # round 2 and was ~2.4x SLOWER end-to-end: its 7-piece concatenate of
+        # [N, 2l+1, F] blocks re-tiles every odd-sublane piece (~28 ms per
+        # call site). The gather-expanded einsum stays.
         l_of = CoefficientMapping(self.lmax, self.lmax).l_of_full
         w = jnp.take(weight.astype(dt), l_of, axis=0)  # [coeffs, out, in]
         out = jnp.einsum("nic,ioc->nio", x.astype(dt), w)
-        out = out.at[:, 0, :].add(bias.astype(dt))
-        return out
+        return add_l0(out, bias)
 
 
 class EquivariantRMSNorm(nn.Module):
@@ -165,7 +200,7 @@ class EquivariantRMSNorm(nn.Module):
         w = jnp.take(weight.astype(x.dtype), mapping.l_of_full, axis=0)  # [coeffs, C]
         out = x * inv * w[None]
         if self.centering:
-            out = out.at[:, 0, :].add(bias.astype(x.dtype))
+            out = add_l0(out, bias)
         return out.astype(in_dtype)
 
 
@@ -290,39 +325,64 @@ def gate_activation(
     return jnp.concatenate([scalars, vectors], axis=1)
 
 
-def s2_activation(x: jax.Array, lmax: int, mmax: int) -> jax.Array:
-    """Pointwise SiLU on the sphere grid (EF_layers.py:1736-1754).
-
-    A fused Pallas kernel exists (singa_tpu/ops/pallas/s2_act.py) that keeps
-    the [N, G, C] grid tensor in VMEM — the XLA einsum pair materialises it
-    in HBM (~GBs per FFN call at the flagship config). With the ragged-block
-    tiling fix it now compiles and runs on the axon TPU (earlier stalls were
-    a degenerate ~280 MB VMEM block, not a Mosaic limitation). It stays
-    opt-in (SINGA_TPU_PALLAS=1) pending an end-to-end win over the XLA path;
-    parity is covered by tests in interpret mode either way."""
+def _use_pallas() -> bool:
+    """Fused Pallas kernels are the DEFAULT on TPU (opt out with
+    SINGA_TPU_NO_PALLAS=1); XLA everywhere else. The [N, G, C] grid tensors
+    are ~GBs at flagship shapes and the XLA einsum pair streams them through
+    HBM — 40%+ of the round-2 step profile."""
     import os
 
+    return jax.default_backend() == "tpu" and not os.environ.get(
+        "SINGA_TPU_NO_PALLAS"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_mats_for(lmax: int, mmax: int, m_primary: bool):
+    """(to_grid, from_grid) matrices, with the m-primary coefficient
+    permutation folded into the constants when requested (free at runtime)."""
     grid = get_grid(lmax, mmax)
-    if jax.default_backend() == "tpu" and os.environ.get("SINGA_TPU_PALLAS"):
+    tg, fg = grid.to_grid_mat, grid.from_grid_mat
+    if m_primary:
+        perm = CoefficientMapping(lmax, mmax).l_to_m
+        tg, fg = tg[:, :, perm], fg[:, :, perm]
+    return tg, fg
+
+
+def s2_activation(
+    x: jax.Array, lmax: int, mmax: int, m_primary: bool = False
+) -> jax.Array:
+    """Pointwise SiLU on the sphere grid (EF_layers.py:1736-1754)."""
+    tg, fg = _grid_mats_for(lmax, mmax, m_primary)
+    if _use_pallas():
         from singa_tpu.ops.pallas.s2_act import s2_silu
 
-        return s2_silu(x, grid.to_grid_mat, grid.from_grid_mat)
+        return s2_silu(x, tg, fg)
     # tag the [N, G, C] grid tensors so remat policies can exclude exactly
     # them (they are ~10x the size of any other residual in the block)
     from jax.ad_checkpoint import checkpoint_name
 
-    g = checkpoint_name(grid.to_grid(x), "s2_grid")
+    g = checkpoint_name(
+        jnp.einsum("bai,nic->nbac", jnp.asarray(tg, x.dtype), x), "s2_grid"
+    )
     h = checkpoint_name(jax.nn.silu(g), "s2_grid")
-    return grid.from_grid(h)
+    return jnp.einsum("bai,nbac->nic", jnp.asarray(fg, x.dtype), h)
 
 
 def separable_s2_activation(
-    scalars: jax.Array, x: jax.Array, lmax: int, mmax: int
+    scalars: jax.Array, x: jax.Array, lmax: int, mmax: int, m_primary: bool = False
 ) -> jax.Array:
     """SiLU on explicit scalars + S2 SiLU on the tensor part, recombined
-    (EF_layers.py:1757-1773)."""
+    (EF_layers.py:1757-1773). Coefficient row 0 is (l=0, m=0) in BOTH the
+    l-primary and m-primary truncated layouts, so the separable recombine is
+    layout-independent."""
+    if _use_pallas():
+        from singa_tpu.ops.pallas.s2_act import s2_silu_sep
+
+        tg, fg = _grid_mats_for(lmax, mmax, m_primary)
+        return s2_silu_sep(x, scalars, tg, fg)
     out_scalars = jax.nn.silu(scalars)[:, None, :]
-    out_tensors = s2_activation(x, lmax, mmax)
+    out_tensors = s2_activation(x, lmax, mmax, m_primary)
     return jnp.concatenate([out_scalars, out_tensors[:, 1:, :]], axis=1)
 
 
@@ -342,6 +402,10 @@ class SO2Conv(nn.Module):
     mmax: int
     edge_channels: Optional[Sequence[int]] = None  # radial MLP hidden dims
     extra_m0_features: Optional[int] = None
+    # m-primary I/O: skip the per-edge layout-permutation gathers entirely
+    # (the neighbours fold the permutation into their constant matrices)
+    m_primary_in: bool = False
+    m_primary_out: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, x_edge: Optional[jax.Array] = None):
@@ -361,7 +425,10 @@ class SO2Conv(nn.Module):
         in_w = n_trunc * c_in
         out_w = n_trunc * F + extra
 
-        xm = mapping.to_m_primary(x).reshape(E, in_w)
+        if self.m_primary_in:
+            xm = x.reshape(E, in_w)
+        else:
+            xm = mapping.to_m_primary(x).reshape(E, in_w)
 
         # ---- radial modulation (reference SO2_Convolution rad_func path) ----
         if self.edge_channels is not None:
@@ -430,7 +497,9 @@ class SO2Conv(nn.Module):
             outs.append(xm[:, off : off + 2 * sz * c_in].astype(dt) @ W_m)
             off += 2 * sz * c_in
         y = jnp.concatenate(outs, axis=-1)
-        out = mapping.to_l_primary(y.reshape(E, n_trunc, F))
+        out = y.reshape(E, n_trunc, F)
+        if not self.m_primary_out:
+            out = mapping.to_l_primary(out)
         if extra:
             return out, y0[:, n0 * F :]
         return out

@@ -221,6 +221,10 @@ class _JLayout:
             [l * l + np.arange(2 * l, -1, -1) for l in range(lmax + 1)]
         ).astype(np.int32)
         self.inv_rescale = CoefficientMapping(lmax, mmax).rotate_inv_rescale
+        # m-primary variant: the truncated-layout permutation folded into the
+        # constant matrix, so the edge-frame chain never runs a per-edge
+        # coefficient gather (to_m_primary cost ~56 ms/step in round 2)
+        self.J_kept_m = self.J_kept[CoefficientMapping(lmax, mmax).l_to_m]
 
 
 def edge_frame(edge_vec: jax.Array, eps: float = 1e-8) -> EdgeFrame:
@@ -240,12 +244,15 @@ def _z_combine(theta: jax.Array, t: jax.Array, m_of, flip) -> jax.Array:
     return cm[..., None] * t - sm[..., None] * jnp.take(t, flip, axis=1)
 
 
-def rotate(frame, x: jax.Array, lmax: int, mmax: int) -> jax.Array:
+def rotate(
+    frame, x: jax.Array, lmax: int, mmax: int, m_primary: bool = False
+) -> jax.Array:
     """Rotate full l-primary features into the (truncated) edge frame.
 
     ``frame``: an EdgeFrame (J-factorised fast path) or a padded Wigner
     tensor ``[E, L, K, N]`` (explicit path, tests). ``x``:
-    ``[E, (lmax+1)^2, C]`` -> ``[E, n_trunc, C]``.
+    ``[E, (lmax+1)^2, C]`` -> ``[E, n_trunc, C]``. With ``m_primary`` the
+    output layout permutation is folded into the constant matrix (free).
     """
     if isinstance(frame, EdgeFrame):
         lay = _JLayout(lmax, mmax)
@@ -254,7 +261,11 @@ def rotate(frame, x: jax.Array, lmax: int, mmax: int) -> jax.Array:
         t = _z_combine(-frame.phi, x, m_of, lay.flip)
         t = jnp.einsum("ij,ejc->eic", jnp.asarray(lay.J.T, dt), t)
         t = _z_combine(-frame.beta, t, m_of, lay.flip)
-        return jnp.einsum("kj,ejc->ekc", jnp.asarray(lay.J_kept, dt), t)
+        jk = lay.J_kept_m if m_primary else lay.J_kept
+        return jnp.einsum("kj,ejc->ekc", jnp.asarray(jk, dt), t)
+    if m_primary:
+        out = rotate(frame, x, lmax, mmax)
+        return CoefficientMapping(lmax, mmax).to_m_primary(out)
     wigner = frame
     lay = _PaddedLayout(lmax, mmax)
     E, _, C = x.shape
@@ -271,21 +282,26 @@ def rotate_inv(
     lmax: int,
     mmax: int,
     rescale: bool = True,
+    m_primary: bool = False,
 ) -> jax.Array:
     """Rotate truncated edge-frame features back: ``[E, n_trunc, C] ->
     [E, full, C]`` via D^T, with the reference's m-truncation rescale
-    (EF_layers.py:1530-1549)."""
+    (EF_layers.py:1530-1549). ``m_primary``: input is m-primary (the layout
+    permutation is folded into the constant matrix)."""
     if isinstance(frame, EdgeFrame):
         lay = _JLayout(lmax, mmax)
         dt = x.dtype
         m_of = jnp.asarray(lay.m_of)
-        t = jnp.einsum("kj,ekc->ejc", jnp.asarray(lay.J_kept, dt), x)
+        jk = lay.J_kept_m if m_primary else lay.J_kept
+        t = jnp.einsum("kj,ekc->ejc", jnp.asarray(jk, dt), x)
         t = _z_combine(frame.beta, t, m_of, lay.flip)
         t = jnp.einsum("ij,ejc->eic", jnp.asarray(lay.J, dt), t)
         t = _z_combine(frame.phi, t, m_of, lay.flip)
         if rescale:
             t = t * jnp.asarray(lay.inv_rescale, dt)[None, :, None]
         return t
+    if m_primary:
+        x = CoefficientMapping(lmax, mmax).to_l_primary(x)
     wigner = frame
     lay = _PaddedLayout(lmax, mmax)
     E, _, C = x.shape

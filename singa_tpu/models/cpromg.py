@@ -233,8 +233,14 @@ class EncoderLayer(nn.Module):
 
 
 class Encoder(nn.Module):
-    """Pocket-atom encoder (CProMG.py:276-309), dense-attention form
-    (singa_tpu/models/dense_graph.py)."""
+    """Pocket-atom encoder (CProMG.py:276-309), dense-attention form.
+
+    A neighbor-list gather form (models/neighbor_graph.py) is parameter-
+    compatible and parity-tested, but measured ~2.2x SLOWER end-to-end on
+    this chip: XLA row-gathers (take_along_axis over [B, N, K] lists) ran at
+    ~2.6 GB/s and the 3-factor score/aggregate contractions materialised the
+    [B, N, K, H, d] intermediate anyway. Dense masked [B, N, N] einsums
+    remain the fastest form at N<=448."""
 
     cfg: EncoderConfig
     feature_dim: int

@@ -28,11 +28,64 @@ softmax over dynamic edge lists.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+import functools
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _table_sum(v: jax.Array, table: jax.Array) -> jax.Array:
+    """Sum edge rows into table owners: v [E, ...], table [N, K] (sentinel E)
+    -> f32 [N, ...]. K static row-gathers with fused accumulation — no HLO
+    scatter, no [N, K, ...] materialisation, no sentinel-row concat copy
+    (sentinel indices are out of bounds and fill with exact zeros)."""
+    acc = None
+    for k in range(table.shape[1]):
+        g = jnp.take(v, table[:, k], axis=0, mode="fill", fill_value=0).astype(
+            jnp.float32
+        )
+        acc = g if acc is None else acc + g
+    return acc
+
+
+@jax.custom_vjp
+def _take_rows(x: jax.Array, idx: jax.Array, back_table: jax.Array) -> jax.Array:
+    """jnp.take whose transpose is a table-sum instead of an HLO scatter-add
+    (which cost ~20 ms per backward site in the round-2 step profile)."""
+    return jnp.take(x, idx, axis=0)
+
+
+def _take_rows_fwd(x, idx, back_table):
+    return jnp.take(x, idx, axis=0), (idx, back_table)
+
+
+def _take_rows_bwd(res, g):
+    _, table = res
+    dx = _table_sum(g, table).astype(g.dtype)
+    return dx, None, None
+
+
+_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+@jax.custom_vjp
+def _scatter_rows(v: jax.Array, dst_idx: jax.Array, table: jax.Array) -> jax.Array:
+    """Table-sum scatter with gather transpose (f32 accumulation)."""
+    return _table_sum(v, table).astype(v.dtype)
+
+
+def _scatter_rows_fwd(v, dst_idx, table):
+    return _scatter_rows(v, dst_idx, table), dst_idx
+
+
+def _scatter_rows_bwd(dst_idx, g):
+    # output dtype == input dtype, so the cotangent is already right
+    return jnp.take(g, dst_idx, axis=0), None, None
+
+
+_scatter_rows.defvjp(_scatter_rows_fwd, _scatter_rows_bwd)
 
 
 def build_dst_table(
@@ -89,6 +142,7 @@ class EdgeEngine(NamedTuple):
     dst_flat: jax.Array  # [B*E] int32 global destination row
     mask: jax.Array  # [B*E] bool
     edge_of: jax.Array  # [B*N_dst, K] int32 global edge id, sentinel B*E
+    src_of: Optional[jax.Array] = None  # [B*N_src, K] source table (optional)
 
     @classmethod
     def create(
@@ -98,6 +152,7 @@ class EdgeEngine(NamedTuple):
         table: jax.Array,  # [B, N_dst, K] per-graph edge positions, sentinel E
         n_src: int,
         n_dst: int,
+        src_table: Optional[jax.Array] = None,  # [B, N_src, K], sentinel E
     ) -> "EdgeEngine":
         B, E, _ = index.shape
         off_src = (jnp.arange(B, dtype=jnp.int32) * n_src)[:, None]
@@ -106,7 +161,11 @@ class EdgeEngine(NamedTuple):
         dst = jnp.where(mask, index[..., 1] + off_dst, 0).reshape(-1)
         off_e = (jnp.arange(B, dtype=jnp.int32) * E)[:, None, None]
         tbl = jnp.where(table >= E, B * E, table + off_e)
-        return cls(src, dst, mask.reshape(-1), tbl.reshape(B * n_dst, -1))
+        stbl = None
+        if src_table is not None:
+            stbl = jnp.where(src_table >= E, B * E, src_table + off_e)
+            stbl = stbl.reshape(B * n_src, -1)
+        return cls(src, dst, mask.reshape(-1), tbl.reshape(B * n_dst, -1), stbl)
 
     @property
     def num_edges(self) -> int:
@@ -120,20 +179,39 @@ class EdgeEngine(NamedTuple):
         return self.mask.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
 
     def gather_src(self, x: jax.Array) -> jax.Array:
-        """x [B*N_src, ...] -> per-edge source rows [B*E, ...] (masked zero)."""
-        return jnp.take(x, self.src_flat, axis=0) * self._mask_like(x)
+        """x [B*N_src, ...] -> per-edge source rows [B*E, ...] (masked zero).
+
+        Gathers run on a FLAT 2-D view: rows of a [N, I, C] array are (8,128)
+        tiles padded on both trailing dims (C=16..32 lanes -> ~4x HBM bloat),
+        and row-gathering those pages ran at single-digit GB/s in the round-2
+        profile. A [N, I*C] view keeps lanes ~full; the reshapes fuse into
+        neighbouring elementwise work."""
+        orig = x.shape[1:]
+        x2 = x.reshape(x.shape[0], -1)
+        if self.src_of is not None:
+            out = _take_rows(x2, self.src_flat, self.src_of)
+        else:
+            out = jnp.take(x2, self.src_flat, axis=0)
+        out = out * self.mask[:, None].astype(out.dtype)
+        return out.reshape((-1,) + orig)
 
     def gather_dst(self, x: jax.Array) -> jax.Array:
-        return jnp.take(x, self.dst_flat, axis=0) * self._mask_like(x)
+        orig = x.shape[1:]
+        x2 = x.reshape(x.shape[0], -1)
+        out = _take_rows(x2, self.dst_flat, self.edge_of)
+        out = out * self.mask[:, None].astype(out.dtype)
+        return out.reshape((-1,) + orig)
 
     def scatter_dst(self, m: jax.Array) -> jax.Array:
         """Sum per-edge values into destinations: [B*E, ...] -> [B*N_dst, ...].
 
-        Accumulates in float32 regardless of input dtype.
-        """
-        v = (m * self._mask_like(m)).astype(jnp.float32)
-        out = jax.ops.segment_sum(v, self.dst_flat, num_segments=self.num_dst)
-        return out.astype(m.dtype)
+        Accumulates in float32 regardless of input dtype; both directions are
+        gathers (table-sum forward, row-gather backward), on flat views."""
+        orig = m.shape[1:]
+        m2 = m.reshape(m.shape[0], -1)
+        v = m2 * self.mask[:, None].astype(m2.dtype)
+        out = _scatter_rows(v, self.dst_flat, self.edge_of)
+        return out.reshape((-1,) + orig)
 
     def softmax_dst(self, logits: jax.Array, eps: float = 1e-16) -> jax.Array:
         """Per-destination softmax over incoming edges; logits [B*E, H].
@@ -147,7 +225,8 @@ class EdgeEngine(NamedTuple):
         mx = jnp.max(g, axis=1)
         mx_safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
         dn = jnp.sum(jnp.exp(g - mx_safe[:, None]), axis=1)
-        mx_e = jnp.take(mx_safe, self.dst_flat, axis=0)
-        dn_e = jnp.take(dn, self.dst_flat, axis=0)
+        # table-transpose takes: the plain-take backward is an HLO scatter-add
+        mx_e = _take_rows(mx_safe, self.dst_flat, self.edge_of)
+        dn_e = _take_rows(dn, self.dst_flat, self.edge_of)
         alpha = jnp.exp(lg - mx_e) / jnp.maximum(dn_e, eps)
         return (alpha * self._mask_like(alpha)).astype(logits.dtype)

@@ -146,3 +146,21 @@ def test_smiles_writer_rings():
     assert smi.count("1") == 2  # one ring closure pair
     assert smi.count("c") == 6  # all six aromatic carbons
     assert "=" not in smi  # aromatic ring, no explicit double bonds
+
+
+def test_sa_score_fragment_db_ordering():
+    """The Morgan-fragment DB (tools/gen_sa_db.py) separates common drug
+    chemistry from exotic structures, and keeps simple drugs under the <4.0
+    conditioning threshold (reference model/GAN.py:40)."""
+    from singa_tpu.chem.morgan import _load_db, fragment_score
+    from singa_tpu.chem.smiles_parser import parse_smiles
+
+    assert len(_load_db()) > 500  # shipped table present
+    aspirin = parse_smiles("CC(=O)Oc1ccccc1C(=O)O")
+    weird = parse_smiles("FC(F)(F)C1(N=NC2(CC2)C1(Br)Br)C#CC#CC1CC1")
+    assert fragment_score(aspirin) > fragment_score(weird)
+    assert sa_score(aspirin) < 4.0 < sa_score(weird)
+    # bridged polycyclics read as harder than their fused analogues
+    morphinan = parse_smiles("CN1CCC23c4c5ccc(O)c4OC2C(O)C=CC3C1C5")
+    naphthalene = parse_smiles("c1ccc2ccccc2c1")
+    assert sa_score(morphinan) > sa_score(naphthalene) + 1.0

@@ -72,3 +72,37 @@ def test_dense_padding_invariance():
     g2 = build_dense_graph(pos + noise, mask, K, SMEAR_STOP, EDGE_CH)
     out2 = np.asarray(dense.apply(dp, x + noise * 0.3, g2))
     np.testing.assert_allclose(out1, out2, atol=1e-4)
+
+
+def test_neighbor_form_matches_dense():
+    """NeighborGraphMHA (gather form over [B, N, K] in-neighbor lists) ==
+    DenseGraphMHA under one param dict, including padded nodes."""
+    from singa_tpu.models.neighbor_graph import (
+        NeighborGraphMHA,
+        build_neighbor_graph,
+    )
+
+    x, pos, mask, dense, _, g, _, _, dp, _ = _setup()
+    nb = NeighborGraphMHA(
+        hidden_channels=C, key_channels=16, num_heads=H,
+        edge_channels=EDGE_CH, smear_stop=SMEAR_STOP,
+    )
+    # K = N so no in-degree overflow: forms must agree exactly
+    gn = build_neighbor_graph(pos, mask, K, SMEAR_STOP, EDGE_CH, k_in=N)
+    # neighbour lists reproduce the dense adjacency
+    adj_from_nb = np.zeros((B, N, N), bool)
+    for b in range(B):
+        for i in range(N):
+            for kk in range(gn.nbr.shape[2]):
+                if bool(gn.nbr_mask[b, i, kk]):
+                    adj_from_nb[b, i, int(gn.nbr[b, i, kk])] = True
+    np.testing.assert_array_equal(adj_from_nb, np.asarray(g.adj))
+    np.testing.assert_allclose(
+        np.asarray(gn.deg_attr), np.asarray(g.deg_attr), atol=1e-5
+    )
+
+    out_d = dense.apply(dp, x, g)
+    out_n = nb.apply(dp, x, gn)
+    np.testing.assert_allclose(
+        np.asarray(out_n), np.asarray(out_d), atol=2e-5, rtol=1e-5
+    )

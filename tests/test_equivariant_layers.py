@@ -17,6 +17,14 @@ from singa_tpu.equivariant.wigner import wigner_blocks
 LMAX, MMAX = 6, 2
 
 
+@pytest.fixture(autouse=True)
+def _exact_matmuls():
+    """fp32 equivariance at the BASELINE <=1e-5 bar requires exact (non-TF32
+    -style) matmuls; 'highest' is what the fp32 reference effectively uses."""
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
 def _rand_rot(seed):
     rng = np.random.default_rng(seed)
     Q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
@@ -34,7 +42,7 @@ def test_grid_roundtrip_identity_full_m():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(5, (LMAX + 1) ** 2, 3)).astype(np.float32))
     y = grid.from_grid(grid.to_grid(x))
-    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
 
 
 def test_grid_roundtrip_rescale_truncated():
@@ -63,7 +71,7 @@ def test_so3_linear_equivariance():
     R = _rand_rot(3)
     out1 = _rotate_full(R, mod.apply(params, x))
     out2 = mod.apply(params, _rotate_full(R, x))
-    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
 def test_rms_norm_equivariance():
@@ -75,7 +83,7 @@ def test_rms_norm_equivariance():
     R = _rand_rot(5)
     out1 = _rotate_full(R, mod.apply(params, x))
     out2 = mod.apply(params, _rotate_full(R, x))
-    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
 def _z_gauge_rotate_trunc(psi, x):
@@ -105,7 +113,7 @@ def test_so2_conv_gauge_equivariance():
     psi = 0.9
     out1 = _z_gauge_rotate_trunc(psi, mod.apply(params, x))
     out2 = mod.apply(params, _z_gauge_rotate_trunc(psi, x))
-    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
 def test_so2_conv_extra_m0_invariance():
@@ -117,7 +125,7 @@ def test_so2_conv_extra_m0_invariance():
     params = mod.init(key, x)
     _, extra1 = mod.apply(params, x)
     _, extra2 = mod.apply(params, _z_gauge_rotate_trunc(1.3, x))
-    np.testing.assert_allclose(np.asarray(extra1), np.asarray(extra2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(extra1), np.asarray(extra2), atol=1e-5)
 
 
 def test_s2_activation_z_equivariance_full_m():
@@ -178,10 +186,41 @@ def test_pallas_s2_kernel_parity():
         return grid.from_grid(jax.nn.silu(grid.to_grid(v)))
 
     got = s2_silu(x, grid.to_grid_mat, grid.from_grid_mat)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)), atol=1e-5)
 
     g1 = jax.grad(lambda v: (ref(v) ** 2).sum())(x)
     g2 = jax.grad(
         lambda v: (s2_silu(v, grid.to_grid_mat, grid.from_grid_mat) ** 2).sum()
     )(x)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=2e-4, rtol=1e-4)
+
+
+def test_pallas_s2_sep_kernel_parity():
+    """Fused separable S2 kernel (interpret mode) == gate + S2 + concat XLA
+    path, forward and backward (both inputs)."""
+    from singa_tpu.equivariant.grid import get_grid
+    from singa_tpu.ops.pallas.s2_act import s2_silu_sep
+
+    grid = get_grid(LMAX, LMAX)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(8, 49, 24)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(8, 24)).astype(np.float32))
+
+    def ref(v, sc):
+        out0 = jax.nn.silu(sc)[:, None, :]
+        out = grid.from_grid(jax.nn.silu(grid.to_grid(v)))
+        return jnp.concatenate([out0, out[:, 1:, :]], axis=1)
+
+    got = s2_silu_sep(x, s, grid.to_grid_mat, grid.from_grid_mat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x, s)), atol=1e-5)
+
+    def loss(fn):
+        return lambda v, sc: (fn(v, sc) * jnp.cos(jnp.arange(24.0))).sum()
+
+    g1 = jax.grad(loss(ref), argnums=(0, 1))(x, s)
+    g2 = jax.grad(
+        loss(lambda v, sc: s2_silu_sep(v, sc, grid.to_grid_mat, grid.from_grid_mat)),
+        argnums=(0, 1),
+    )(x, s)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)

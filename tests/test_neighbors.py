@@ -51,9 +51,46 @@ def _engines(seed, B=3, E=24, N=8, K=5):
     idx, mask = _random_edges(seed, B, E, N, K)
     tbl, kept, dropped = build_dst_table(idx[..., 1], mask, N, K)
     assert dropped == 0
-    new = EdgeEngine.create(jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(tbl), N, N)
+    # src table (sized generously: random sources can repeat up to E times)
+    stbl, kept2, dropped2 = build_dst_table(idx[..., 0], mask, N, E)
+    assert dropped2 == 0 and (kept2 == mask).all()
+    new = EdgeEngine.create(
+        jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(tbl), N, N,
+        src_table=jnp.asarray(stbl),
+    )
     old = MatmulEdges.create(jnp.asarray(idx), jnp.asarray(mask), N, N)
     return old, new, B, E, N
+
+
+def test_table_vjps_match_xla_transpose():
+    """gather/scatter custom VJPs (table transpose) == plain take/segment_sum
+    autodiff."""
+    _, new, B, E, N = _engines(7)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(B * N, 5, 3)).astype(np.float32))
+    m = jnp.asarray(rng.normal(size=(B * E, 5, 3)).astype(np.float32))
+    mask = new.mask.astype(x.dtype)[:, None, None]
+
+    def plain_gather_src(v):
+        return jnp.take(v, new.src_flat, axis=0) * mask
+
+    def plain_gather_dst(v):
+        return jnp.take(v, new.dst_flat, axis=0) * mask
+
+    def plain_scatter(v):
+        return jax.ops.segment_sum(v * mask, new.dst_flat, num_segments=B * N)
+
+    for fn, ref, arg in [
+        (new.gather_src, plain_gather_src, x),
+        (new.gather_dst, plain_gather_dst, x),
+        (new.scatter_dst, plain_scatter, m),
+    ]:
+        out, ref_out = fn(arg), ref(arg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-6)
+        ct = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
+        g = jax.grad(lambda v: jnp.vdot(fn(v), ct))(arg)
+        g_ref = jax.grad(lambda v: jnp.vdot(ref(v), ct))(arg)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
 
 
 def test_engine_parity_gather_scatter():
