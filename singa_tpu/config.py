@@ -62,7 +62,7 @@ class EmbeddingConfig:
     # residual EXCEPT the S2-grid activations (the only ~GB-scale tensors,
     # tagged via checkpoint_name in layers.s2_activation) — cheapest backward
     # that still fits HBM at the flagship batch.
-    remat_policy: str = "full"
+    remat_policy: str = "s2"
     avg_degree: float = 23.395238876342773  # reference Embedding.py:36
 
 

@@ -73,7 +73,13 @@ class EdgeDegreeEmbedding(nn.Module):
 
 class FeedForwardNetwork(nn.Module):
     """SO3 linear -> separable S2 activation -> SO3 linear
-    (EF_layers.py:152-270 with the config's use_sep_s2_act=True path)."""
+    (EF_layers.py:152-270 with the config's use_sep_s2_act=True path).
+
+    On TPU the whole block runs as ONE fused Pallas kernel
+    (ops/pallas/so3_ffn.py): the [N, 49, hidden] intermediates and the
+    [N, hidden, G] grid tensor (784 MB / ~3 GB at flagship shapes) never
+    exist outside VMEM, forward or backward. The XLA path below is the
+    parity reference (CPU, tests, SINGA_TPU_NO_PALLAS=1)."""
 
     hidden_channels: int
     output_channels: int
@@ -81,17 +87,58 @@ class FeedForwardNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from jax.ad_checkpoint import checkpoint_name
+        from singa_tpu.dtypes import compute_dtype
+        from singa_tpu.equivariant.layers import (
+            _grid_mats_for,
+            _use_pallas,
+            add_l0,
+            torch_linear_kernel_init,
+        )
 
-        gating = Linear(self.hidden_channels)(x[:, 0, :])
-        h = SO3Linear(self.hidden_channels, lmax=self.lmax)(x)
-        # the whole wide chain ([N, 49, hidden] and the grids inside the
-        # activation) is tagged for recompute under the 's2' remat policy;
-        # only the narrow [N, 49, C] input/output survive to the backward
-        h = checkpoint_name(h, "s2_grid")
+        C = x.shape[-1]
+        L = self.lmax + 1
+        H = self.hidden_channels
+        Co = self.output_channels
+
+        def unif(fan_in):
+            bound = 1.0 / np.sqrt(fan_in)
+            return lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound)
+
+        wg = self.param("gate_kernel", torch_linear_kernel_init, (C, H))
+        bg = self.param("gate_bias", unif(C), (H,))
+        w1 = self.param("w1", unif(C), (L, H, C))
+        b1 = self.param("b1", nn.initializers.zeros, (H,))
+        w2 = self.param("w2", unif(H), (L, Co, H))
+        b2 = self.param("b2", nn.initializers.zeros, (Co,))
+
+        dt = compute_dtype()
+        tg, fg = _grid_mats_for(self.lmax, self.lmax, False)
+        tg2 = np.ascontiguousarray(tg.reshape(-1, tg.shape[-1]))
+        fg2 = np.ascontiguousarray(fg.reshape(-1, fg.shape[-1]))
+        if _use_pallas():
+            from singa_tpu.ops.pallas.so3_ffn import pad_grid_mat, so3_ffn_fused
+
+            return so3_ffn_fused(
+                x.astype(dt),
+                jnp.swapaxes(w1, 1, 2),  # [L, C, H]
+                b1,
+                wg,
+                bg,
+                jnp.swapaxes(w2, 1, 2),  # [L, H, Co]
+                b2,
+                jnp.asarray(pad_grid_mat(tg2, self.lmax)),
+                jnp.asarray(pad_grid_mat(fg2, self.lmax)),
+                self.lmax,
+            )
+
+        # ---- XLA reference path (identical math) ----
+        l_of = so3.CoefficientMapping(self.lmax, self.lmax).l_of_full
+        gating = x[:, 0, :].astype(dt) @ wg.astype(dt) + bg.astype(dt)
+        w1e = jnp.take(w1.astype(dt), l_of, axis=0)  # [I, H, C]
+        h = add_l0(jnp.einsum("nic,ioc->nio", x.astype(dt), w1e), b1)
         h = separable_s2_activation(gating, h, self.lmax, self.lmax)
-        h = checkpoint_name(h, "s2_grid")
-        return SO3Linear(self.output_channels, lmax=self.lmax)(h)
+        w2e = jnp.take(w2.astype(dt), l_of, axis=0)
+        return add_l0(jnp.einsum("nic,ioc->nio", h.astype(dt), w2e), b2)
 
 
 class GraphAttention(nn.Module):
@@ -138,9 +185,14 @@ class GraphAttention(nn.Module):
             name="so2_conv_1",
         )(msg, x_edge)
 
+        from jax.ad_checkpoint import checkpoint_name
+
         alpha_ch = self.num_heads * self.attn_alpha_channels
         x_alpha = x0_extra[:, :alpha_ch]
         gating = x0_extra[:, alpha_ch:]
+        # the widest edge tensors in the block ([E, 29, 128/112]); under the
+        # 's2x' remat policy they are recomputed instead of saved (batch 64)
+        msg = checkpoint_name(msg, "conv_wide")
         msg = separable_s2_activation(
             gating, msg, self.lmax, self.mmax, m_primary=True
         )
@@ -153,6 +205,7 @@ class GraphAttention(nn.Module):
             m_primary_out=True,
             name="so2_conv_2",
         )(msg)
+        msg = checkpoint_name(msg, "conv_wide")
 
         # attention logits from the invariant m=0 channel
         x_alpha = x_alpha.reshape(-1, self.num_heads, self.attn_alpha_channels)
@@ -169,7 +222,10 @@ class GraphAttention(nn.Module):
 
         E, n_trunc, _ = msg.shape
         msg = msg.reshape(E, n_trunc, self.num_heads, self.attn_value_channels)
-        msg = msg * alpha[:, None, :, None]
+        # keep the weighted messages in compute dtype: the LayerNorm'd alpha
+        # path is f32 and the promoted product was saved as a 786 MB f32
+        # residual per block at batch 64
+        msg = msg * alpha.astype(msg.dtype)[:, None, :, None]
         msg = msg.reshape(E, n_trunc, self.num_heads * self.attn_value_channels)
 
         # Output projection applied per edge *before* rotate-back + reduce.

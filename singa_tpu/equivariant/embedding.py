@@ -70,6 +70,11 @@ class EquivariantEmbedding(nn.Module):
                 "s2": _jax.checkpoint_policies.save_anything_except_these_names(
                     "s2_grid"
                 ),
+                # leaner: also recompute the wide per-edge conv outputs
+                # (fits batch 64 on one 16 GB chip)
+                "s2x": _jax.checkpoint_policies.save_anything_except_these_names(
+                    "s2_grid", "conv_wide"
+                ),
             }.get(self.config.remat_policy, None)
             block_cls = nn.remat(TransBlock, policy=policy)
         else:

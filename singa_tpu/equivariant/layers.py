@@ -429,6 +429,12 @@ class SO2Conv(nn.Module):
             xm = x.reshape(E, in_w)
         else:
             xm = mapping.to_m_primary(x).reshape(E, in_w)
+        # re-tag the flat view: remat policies exclude NAMED values, but the
+        # reshape is a distinct value the partial-eval would happily save
+        # instead of the tagged [E, n_trunc, C] form
+        from jax.ad_checkpoint import checkpoint_name
+
+        xm = checkpoint_name(xm, "conv_wide")
 
         # ---- radial modulation (reference SO2_Convolution rad_func path) ----
         if self.edge_channels is not None:

@@ -232,6 +232,23 @@ class EncoderLayer(nn.Module):
         return msa, ffn
 
 
+class _ScanEncoderLayer(nn.Module):
+    """nn.scan body: carry = node features, collect = per-layer MSA output
+    (consumed by Encoder2's cross-attention at layers 2 and 5)."""
+
+    cfg: EncoderConfig
+    smear_stop: float
+
+    @nn.compact
+    def __call__(self, x, g):
+        from singa_tpu.models.dense_graph import DenseEncoderLayer
+
+        msa, y = DenseEncoderLayer(self.cfg, self.smear_stop, name="layer")(x, g)
+        # LayerNorm promotes to f32; without the cast layers 1..5 silently ran
+        # in f32 (and scan requires a dtype-stable carry)
+        return y.astype(x.dtype), msa.astype(x.dtype)
+
+
 class Encoder(nn.Module):
     """Pocket-atom encoder (CProMG.py:276-309), dense-attention form.
 
@@ -247,7 +264,7 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, feat, pos, mask, lap_pe):
-        from singa_tpu.models.dense_graph import DenseEncoderLayer, build_dense_graph
+        from singa_tpu.models.dense_graph import build_dense_graph
 
         B, N, _ = feat.shape
         x = Linear(self.cfg.hidden_channels, name="protein_atom_emb")(feat)
@@ -255,11 +272,20 @@ class Encoder(nn.Module):
         g = build_dense_graph(
             pos, mask, self.cfg.knn, self.cfg.smear_stop, self.cfg.edge_channels
         )
-        layer_cls = nn.remat(DenseEncoderLayer, static_argnums=())
-        msa_outputs = []
-        for i in range(self.cfg.num_interactions):
-            msa, x = layer_cls(self.cfg, self.cfg.smear_stop, name=f"layer_{i}")(x, g)
-            msa_outputs.append(msa)
+        # layers run under nn.scan: XLA otherwise overlaps the rematerialised
+        # backward of several layers, keeping multiple [B, N, N, kd] edge
+        # tensors live at once (the batch-64 OOM); scan serialises them and
+        # compiles the layer body once
+        scan = nn.scan(
+            nn.remat(_ScanEncoderLayer),
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.cfg.num_interactions,
+            in_axes=nn.broadcast,
+            out_axes=0,
+        )
+        x, msas = scan(self.cfg, self.cfg.smear_stop, name="layers")(x, g)
+        msa_outputs = [msas[i] for i in range(self.cfg.num_interactions)]
         out = x * mask[..., None]
         pad_mask = ~mask[:, None, :]  # [B, 1, N], True = blocked
         return out, pad_mask, msa_outputs

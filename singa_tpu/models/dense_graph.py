@@ -36,6 +36,12 @@ class DenseGraph(NamedTuple):
     adj: jax.Array  # [B, N, N] bool, symmetric kNN closure (no self)
     deg_attr: jax.Array  # [B, N, De] Laplacian diagonal (degree) attr
     node_mask: jax.Array  # [B, N]
+    # NEGATED smeared distances (the Laplacian off-diagonal attr the edge
+    # MLPs consume directly), computed ONCE and shared by all encoder layers:
+    # per-layer recomputation — and a separate negation copy — kept 3 of
+    # these [B, N, N, De] tensors (~1.1 GB each at batch 64) live at once
+    # and OOMed the flagship batch
+    neg_smear: jax.Array | None = None  # [B, N, N, De]
 
 
 def build_dense_graph(
@@ -62,9 +68,15 @@ def build_dense_graph(
     adj_dir = (d2m <= kth) & (d2m < big)
     adj = adj_dir | jnp.swapaxes(adj_dir, 1, 2)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
-    smear = gaussian_smearing(dist, 0.0, smear_stop, edge_channels)
-    deg = (smear * adj[..., None]).sum(axis=2)  # [B, N, De]
-    return DenseGraph(dist=dist, adj=adj, deg_attr=deg, node_mask=mask)
+    from singa_tpu.dtypes import compute_dtype
+
+    neg_smear = -gaussian_smearing(dist, 0.0, smear_stop, edge_channels).astype(
+        compute_dtype()
+    )
+    deg = -(neg_smear * adj[..., None]).sum(axis=2)  # [B, N, De]
+    return DenseGraph(
+        dist=dist, adj=adj, deg_attr=deg, node_mask=mask, neg_smear=neg_smear
+    )
 
 
 class DenseGraphMHA(nn.Module):
@@ -99,13 +111,16 @@ class DenseGraphMHA(nn.Module):
         v = grouped("v_lin", self.hidden_channels)  # [B, N, H, vd]
 
         # edge MLPs on the Laplacian attrs; off-diagonal entries are -smear
-        smear = gaussian_smearing(
-            g.dist, 0.0, self.smear_stop, self.edge_channels
-        ).astype(dt)
+        if g.neg_smear is not None:
+            neg_smear = g.neg_smear.astype(dt)
+        else:
+            neg_smear = -gaussian_smearing(
+                g.dist, 0.0, self.smear_stop, self.edge_channels
+            ).astype(dt)
         wk_net = EdgeMLP(kd, name="weight_k_net")
         wv_net = EdgeMLP(vd, name="weight_v_net")
-        w_k_off = wk_net(-smear)  # [B, N, N, kd]
-        w_v_off = wv_net(-smear)
+        w_k_off = wk_net(neg_smear)  # [B, N, N, kd]
+        w_v_off = wv_net(neg_smear)
         w_k_diag = wk_net(g.deg_attr.astype(dt))  # [B, N, kd]
         w_v_diag = wv_net(g.deg_attr.astype(dt))
 

@@ -1,0 +1,339 @@
+"""Fully-fused equivariant feed-forward block as one Pallas TPU kernel.
+
+Fuses the whole FFN of a TransBlock (reference FeedForwardNetwork,
+EF_layers.py:152-270, use_sep_s2_act path):
+
+    gate = silu(x[l=0] @ Wg + bg)
+    h    = SO3Linear1(x)            # per-degree [C -> H], bias on l=0
+    mid  = from_grid(silu(to_grid(h)))   with row0 := gate
+    y    = SO3Linear2(mid)          # per-degree [H -> C], bias on l=0
+
+into a single kernel (custom VJP, backward also one kernel). Why: at the
+flagship shapes the intermediates h/mid are [N, 49, 512] (784 MB bf16 as
+(8,128) tiles) and the grid tensor [N, 512, G] is ~3 GB — XLA materialises
+them in HBM in forward, backward AND remat recompute; they were ~30% of the
+round-2 step and made every remat policy except full-recompute OOM. Here the
+hidden dimension is processed in 128-channel chunks that never leave VMEM;
+HBM traffic is just x in / y out plus the small weights.
+
+Layout: coefficients ride in an L-PADDED layout — each degree's (2l+1) rows
+padded to a multiple of 8 (49 -> 80 for lmax 6) with matching zero columns
+in the grid matrices. Mosaic can only merge leading vector dims when they
+are tile-aligned ("unsupported shape cast" otherwise), and the padded
+blocks make every per-degree [TN, blk, C] -> [TN*blk, C] merge legal while
+keeping the per-degree matmuls large. Zero-padded rows/columns contribute
+exact zeros through every term, forward and backward.
+
+Weight gradients are accumulated in VMEM across the node-tile grid (TPU
+grids execute sequentially; accumulator outputs use a constant block index
+with a first-step zero init). Ragged node counts are zero-padded by the
+wrapper for the same reason.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _silu_grad(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_layout(lmax: int):
+    """[(src_start, src_end, dst_start, blk)] per degree + total padded rows."""
+    out = []
+    off = 0
+    for l in range(lmax + 1):
+        sz = 2 * l + 1
+        blk = ((sz + 7) // 8) * 8
+        out.append((l * l, (l + 1) * (l + 1), off, blk))
+        off += blk
+    return tuple(out), off
+
+
+def _row0(shape, axis=1):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, axis) == 0
+
+
+def _to_g(h, mat):
+    """[TN, P, HC] x [G, P] -> [TN, HC, G] (free dims TN*HC merge, aligned)."""
+    return jax.lax.dot_general(
+        h, mat.astype(h.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _from_g(a, mat):
+    """[TN, HC, G] x [G, P] -> [TN, P, HC]."""
+    out = jax.lax.dot_general(
+        a, mat.astype(a.dtype), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, HC, P]
+    return out.transpose(0, 2, 1)
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _blk_mm(xl, w):
+    """[TN, blk, K] x [K, F] -> [TN, blk, F] via an aligned merge."""
+    TN, blk, K = xl.shape
+    y = _mm(xl.reshape(TN * blk, K), w)
+    return y.reshape(TN, blk, -1)
+
+
+def _blk_outer(a, b):
+    """[TN, blk, A] x [TN, blk, B] -> [A, B] (merge + single contraction)."""
+    TN, blk, A = a.shape
+    return jax.lax.dot_general(
+        a.reshape(TN * blk, A), b.reshape(TN * blk, -1),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def _ffn_fwd_kernel(
+    lmax, n_chunks, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, w2_ref, b2_ref,
+    tg_ref, fg_ref, y_ref,
+):
+    x = x_ref[:]  # [TN, P, C] l-padded
+    dt = x.dtype
+    TN = x.shape[0]
+    H = w1_ref.shape[2]
+    HC = H // n_chunks
+    blocks, _ = _pad_layout(lmax)
+    Co = w2_ref.shape[2]
+
+    g0 = _mm(x[:, 0, :], wg_ref[:].astype(dt)) + bg_ref[:]  # [TN, H] f32
+    y_parts = [jnp.zeros((TN, blk, Co), jnp.float32) for (_, _, _, blk) in blocks]
+    for hc in range(n_chunks):
+        sl = slice(hc * HC, (hc + 1) * HC)
+        h = jnp.concatenate(
+            [
+                _blk_mm(x[:, ds : ds + blk, :], w1_ref[l, :, sl].astype(dt))
+                for l, (_, _, ds, blk) in enumerate(blocks)
+            ],
+            axis=1,
+        )  # [TN, P, HC] f32
+        h = jnp.where(_row0(h.shape), h + b1_ref[sl][None, None, :], h)
+        grid = _to_g(h.astype(dt), tg_ref[:])  # [TN, HC, G] f32
+        act = _silu(grid).astype(dt)
+        mid = _from_g(act, fg_ref[:])  # [TN, P, HC] f32
+        gate = _silu(g0[:, sl])[:, None, :]
+        mid = jnp.where(_row0(mid.shape), gate, mid).astype(dt)
+        for l, (_, _, ds, blk) in enumerate(blocks):
+            y_parts[l] = y_parts[l] + _blk_mm(
+                mid[:, ds : ds + blk, :], w2_ref[l, sl, :].astype(dt)
+            )
+    y = jnp.concatenate(y_parts, axis=1)
+    y = jnp.where(_row0(y.shape), y + b2_ref[:][None, None, :], y)
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
+def _ffn_bwd_kernel(
+    lmax, n_chunks, x_ref, dy_ref, w1_ref, b1_ref, wg_ref, bg_ref, w2_ref,
+    tg_ref, fg_ref,
+    dx_ref, dw1_ref, db1_ref, dwg_ref, dbg_ref, dw2_ref, db2_ref,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dwg_ref[:] = jnp.zeros_like(dwg_ref)
+        dbg_ref[:] = jnp.zeros_like(dbg_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[:]  # [TN, P, C]
+    dy = dy_ref[:].astype(jnp.float32)
+    dt = x.dtype
+    TN = x.shape[0]
+    C = x.shape[2]
+    H = w1_ref.shape[2]
+    HC = H // n_chunks
+    blocks, _ = _pad_layout(lmax)
+
+    x0 = x[:, 0, :]
+    g0 = _mm(x0, wg_ref[:].astype(dt)) + bg_ref[:]  # [TN, H] f32
+    db2_ref[:] += jnp.sum(dy[:, 0, :], axis=0)
+    dx_parts = [jnp.zeros((TN, blk, C), jnp.float32) for (_, _, _, blk) in blocks]
+    dg0_all = []
+    for hc in range(n_chunks):
+        sl = slice(hc * HC, (hc + 1) * HC)
+        # ---- recompute forward chunk ----
+        h = jnp.concatenate(
+            [
+                _blk_mm(x[:, ds : ds + blk, :], w1_ref[l, :, sl].astype(dt))
+                for l, (_, _, ds, blk) in enumerate(blocks)
+            ],
+            axis=1,
+        )
+        h = jnp.where(_row0(h.shape), h + b1_ref[sl][None, None, :], h)
+        grid = _to_g(h.astype(dt), tg_ref[:])
+        act = _silu(grid).astype(dt)
+        mid = _from_g(act, fg_ref[:])
+        gate = _silu(g0[:, sl])[:, None, :]
+        mid = jnp.where(_row0(mid.shape), gate, mid).astype(dt)
+        # ---- backward through SO3Linear2 ----
+        dmid_parts = []
+        for l, (_, _, ds, blk) in enumerate(blocks):
+            dyl = dy[:, ds : ds + blk, :].astype(dt)
+            dw2_ref[l, sl, :] += _blk_outer(mid[:, ds : ds + blk, :], dyl)
+            dmid_parts.append(_blk_mm(dyl, w2_ref[l, sl, :].astype(dt).T))
+        dmid = jnp.concatenate(dmid_parts, axis=1)  # [TN, P, HC] f32
+        # ---- separable recombine: row 0 belongs to the gate ----
+        dg0_all.append(_silu_grad(g0[:, sl]) * dmid[:, 0, :])
+        dmid = jnp.where(_row0(dmid.shape), 0.0, dmid).astype(dt)
+        # ---- backward through the S2 activation ----
+        dact = _to_g(dmid, fg_ref[:])  # [TN, HC, G]
+        dgrid = (_silu_grad(grid) * dact).astype(dt)
+        dh = _from_g(dgrid, tg_ref[:])  # [TN, P, HC] f32
+        db1_ref[sl] += jnp.sum(dh[:, 0, :], axis=0)
+        # ---- backward through SO3Linear1 ----
+        dhc = dh.astype(dt)
+        for l, (_, _, ds, blk) in enumerate(blocks):
+            dhl = dhc[:, ds : ds + blk, :]
+            dw1_ref[l, :, sl] += _blk_outer(x[:, ds : ds + blk, :], dhl)
+            dx_parts[l] = dx_parts[l] + _blk_mm(dhl, w1_ref[l, :, sl].astype(dt).T)
+    # ---- gate path ----
+    dg0 = jnp.concatenate(dg0_all, axis=1).astype(dt)  # [TN, H]
+    dwg_ref[:] += jax.lax.dot_general(
+        x0, dg0, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbg_ref[:] += jnp.sum(dg0.astype(jnp.float32), axis=0)
+    dx0 = _mm(dg0, wg_ref[:].astype(dt).T)  # [TN, C]
+    dx = jnp.concatenate(dx_parts, axis=1)
+    dx = jnp.where(_row0(dx.shape), dx + dx0[:, None, :], dx)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _tiles(n: int, bwd: bool = False) -> int:
+    # bwd holds ~2x the [TN, HC, G] buffers (grid + dgrid chains); TN=32
+    # overflowed the 16 MB scoped VMEM by ~3 MB
+    cap = 16 if bwd else 32
+    return cap if n >= cap else max(8, n)
+
+
+def _pad_coeffs(x, lmax):
+    """[N, I, C] -> [N, P, C] l-padded (zero rows)."""
+    blocks, _ = _pad_layout(lmax)
+    parts = []
+    for (s, e, _, blk) in blocks:
+        seg = x[:, s:e, :]
+        if blk > e - s:
+            seg = jnp.pad(seg, ((0, 0), (0, blk - (e - s)), (0, 0)))
+        parts.append(seg)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpad_coeffs(y, lmax):
+    blocks, _ = _pad_layout(lmax)
+    return jnp.concatenate(
+        [y[:, ds : ds + (e - s), :] for (s, e, ds, _) in blocks], axis=1
+    )
+
+
+def pad_grid_mat(mat, lmax):
+    """[G, I] numpy -> [G, P] with zero columns on padded rows. Must be
+    called host-side (constants), before the jitted region."""
+    blocks, P = _pad_layout(lmax)
+    out = np.zeros((mat.shape[0], P), np.float32)
+    mat = np.asarray(mat, np.float32)
+    for (s, e, ds, _) in blocks:
+        out[:, ds : ds + (e - s)] = mat[:, s:e]
+    return out
+
+
+def _pad_n(x, tn):
+    """Zero-pad the node axis to a tile multiple: ragged final blocks have
+    UNDEFINED padding content, which the weight-grad reductions would sum;
+    zero rows contribute exactly zero through every term instead."""
+    n = x.shape[0]
+    pad = (-n) % tn
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def so3_ffn_fused(x, w1, b1, wg, bg, w2, b2, tgp, fgp, lmax, interpret=False):
+    """x [N, I, C]; w1 [L, C, H]; b1 [H]; wg [C, H]; bg [H]; w2 [L, H, Co];
+    b2 [Co]; tgp/fgp [G, P] L-PADDED grid mats (pad_grid_mat). Returns
+    y [N, I, Co]."""
+    n0 = x.shape[0]
+    tn = _tiles(n0)
+    xp = _pad_n(_pad_coeffs(x, lmax), tn)
+    n, p, c = xp.shape
+    h = w1.shape[2]
+    n_chunks = max(1, h // 128)
+    grid_dims = (n // tn,)
+    full = lambda a: pl.BlockSpec(a.shape, lambda m: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((tn, p, c), lambda m: (m, 0, 0), memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        functools.partial(_ffn_fwd_kernel, lmax, n_chunks),
+        out_shape=jax.ShapeDtypeStruct((n, p, w2.shape[2]), x.dtype),
+        grid=grid_dims,
+        in_specs=[xspec] + [full(a) for a in (w1, b1, wg, bg, w2, b2, tgp, fgp)],
+        out_specs=pl.BlockSpec((tn, p, w2.shape[2]), lambda m: (m, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, w1, b1, wg, bg, w2, b2, tgp, fgp)
+    return _unpad_coeffs(y[:n0], lmax)
+
+
+def _fwd(x, w1, b1, wg, bg, w2, b2, tg, fg, lmax, interpret):
+    y = so3_ffn_fused(x, w1, b1, wg, bg, w2, b2, tg, fg, lmax, interpret)
+    return y, (x, w1, b1, wg, bg, w2, tg, fg)
+
+
+def _bwd(lmax, interpret, res, dy):
+    x, w1, b1, wg, bg, w2, tgp, fgp = res
+    n0 = x.shape[0]
+    tn = _tiles(n0, bwd=True)
+    xp = _pad_n(_pad_coeffs(x, lmax), tn)
+    dyp = _pad_n(_pad_coeffs(dy, lmax), tn)
+    n, p, c = xp.shape
+    h = w1.shape[2]
+    n_chunks = max(1, h // 128)
+    grid_dims = (n // tn,)
+    full = lambda a: pl.BlockSpec(a.shape, lambda m: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((tn, p, c), lambda m: (m, 0, 0), memory_space=pltpu.VMEM)
+    acc = lambda shape: (
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        pl.BlockSpec(shape, lambda m: (0,) * len(shape), memory_space=pltpu.VMEM),
+    )
+    outs = [
+        (jax.ShapeDtypeStruct(xp.shape, x.dtype),
+         pl.BlockSpec((tn, p, c), lambda m: (m, 0, 0), memory_space=pltpu.VMEM)),
+        acc(w1.shape), acc(b1.shape), acc(wg.shape), acc(bg.shape),
+        acc(w2.shape), acc((w2.shape[2],)),
+    ]
+    dx, dw1, db1, dwg, dbg, dw2, db2 = pl.pallas_call(
+        functools.partial(_ffn_bwd_kernel, lmax, n_chunks),
+        out_shape=tuple(o[0] for o in outs),
+        grid=grid_dims,
+        in_specs=[xspec, xspec] + [full(a) for a in (w1, b1, wg, bg, w2, tgp, fgp)],
+        out_specs=tuple(o[1] for o in outs),
+        interpret=interpret,
+    )(xp, dyp, w1, b1, wg, bg, w2, tgp, fgp)
+    cast = lambda g, pm: g.astype(pm.dtype)
+    return (
+        _unpad_coeffs(dx[:n0], lmax),
+        cast(dw1, w1), cast(db1, b1), cast(dwg, wg), cast(dbg, bg),
+        cast(dw2, w2), db2.astype(w2.dtype), None, None,
+    )
+
+
+so3_ffn_fused.defvjp(_fwd, _bwd)

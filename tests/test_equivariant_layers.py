@@ -224,3 +224,61 @@ def test_pallas_s2_sep_kernel_parity():
     )(x, s)
     for a, b in zip(g2, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
+
+
+def test_pallas_so3_ffn_fused_parity():
+    """Fused SO3-FFN mega-kernel (interpret mode) == the XLA reference path
+    of FeedForwardNetwork: forward and gradients for input + every param."""
+    from singa_tpu.equivariant.layers import _grid_mats_for, add_l0
+    from singa_tpu.ops.pallas.so3_ffn import so3_ffn_fused
+
+    lmax, C, H, Co, N = 3, 4, 256, 4, 40
+    L = lmax + 1
+    I = (lmax + 1) ** 2
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(N, I, C)).astype(np.float32))
+    w1 = jnp.asarray(0.2 * rng.normal(size=(L, C, H)).astype(np.float32))
+    b1 = jnp.asarray(0.1 * rng.normal(size=(H,)).astype(np.float32))
+    wg = jnp.asarray(0.2 * rng.normal(size=(C, H)).astype(np.float32))
+    bg = jnp.asarray(0.1 * rng.normal(size=(H,)).astype(np.float32))
+    w2 = jnp.asarray(0.1 * rng.normal(size=(L, H, Co)).astype(np.float32))
+    b2 = jnp.asarray(0.1 * rng.normal(size=(Co,)).astype(np.float32))
+    tg, fg = _grid_mats_for(lmax, lmax, False)
+    tg = jnp.asarray(tg.reshape(-1, I))
+    fg = jnp.asarray(fg.reshape(-1, I))
+
+    l_of = np.asarray([l for l in range(L) for _ in range(2 * l + 1)])
+
+    def ref(x, w1, b1, wg, bg, w2, b2):
+        gating = x[:, 0, :] @ wg + bg
+        w1e = jnp.take(jnp.swapaxes(w1, 1, 2), l_of, axis=0)  # [I, H, C]
+        h = add_l0(jnp.einsum("nic,ioc->nio", x, w1e), b1)
+        grid = jnp.einsum("gi,nic->ngc", tg, h)
+        mid = jnp.einsum("gi,ngc->nic", fg, jax.nn.silu(grid))
+        mid = jnp.concatenate(
+            [jax.nn.silu(gating)[:, None, :], mid[:, 1:, :]], axis=1
+        )
+        w2e = jnp.take(w2, l_of, axis=0)  # [I, H, Co]
+        return add_l0(jnp.einsum("nio,ioc->nic", mid, w2e), b2)
+
+    from singa_tpu.ops.pallas.so3_ffn import pad_grid_mat
+
+    tgp = jnp.asarray(pad_grid_mat(np.asarray(tg), lmax))
+    fgp = jnp.asarray(pad_grid_mat(np.asarray(fg), lmax))
+
+    def fused(x, w1, b1, wg, bg, w2, b2):
+        return so3_ffn_fused(x, w1, b1, wg, bg, w2, b2, tgp, fgp, lmax, True)
+
+    args = (x, w1, b1, wg, bg, w2, b2)
+    y_ref = ref(*args)
+    y = fused(*args)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=3e-5, rtol=1e-5)
+
+    ct = jnp.asarray(rng.normal(size=y_ref.shape).astype(np.float32))
+    g_ref = jax.grad(lambda *a: jnp.vdot(ref(*a), ct), argnums=tuple(range(7)))(*args)
+    g = jax.grad(lambda *a: jnp.vdot(fused(*a), ct), argnums=tuple(range(7)))(*args)
+    names = ["x", "w1", "b1", "wg", "bg", "w2", "b2"]
+    for name, a, b in zip(names, g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4, err_msg=name
+        )

@@ -40,8 +40,12 @@ def test_sampling_produces_valid_sequences(gan_setup):
             assert (row[eos[0] + 1 :] == PAD_TOKEN).all()
     lp = np.asarray(logp)
     assert (lp <= 0).all()
-    # PAD positions contribute zero log-prob
-    assert lp[tokens == PAD_TOKEN].sum() == 0.0
+    # positions AFTER the sampled EOS contribute zero log-prob (the model may
+    # legitimately sample '^' with nonzero log-prob before any EOS)
+    for row, lrow in zip(tokens, lp):
+        eos = np.nonzero(row == EOS_TOKEN)[0]
+        if len(eos):
+            assert lrow[eos[0] + 1 :].sum() == 0.0
 
 
 def test_adversarial_round_updates_all(gan_setup):
