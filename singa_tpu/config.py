@@ -77,6 +77,9 @@ class EncoderConfig:
     num_interactions: int = 6
     knn: int = 48
     knn_aa: int = 30  # second encoder, CProMG.py:330
+    # 'neighbor': [B, N, 2k] neighbour-list attention with one-hot-matmul
+    # gathers (4.6x less pair traffic than 'dense' [B, N, N] form)
+    attn_form: str = "neighbor"
     lap_dim: int = 8
     smear_stop: float = 15.0  # CProMG.py:285
     smear_stop_aa: float = 25.0  # CProMG.py:322

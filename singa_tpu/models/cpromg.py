@@ -241,9 +241,15 @@ class _ScanEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, g):
-        from singa_tpu.models.dense_graph import DenseEncoderLayer
+        if self.cfg.attn_form == "neighbor":
+            from singa_tpu.models.neighbor_graph import NeighborEncoderLayer
 
-        msa, y = DenseEncoderLayer(self.cfg, self.smear_stop, name="layer")(x, g)
+            layer_cls = NeighborEncoderLayer
+        else:
+            from singa_tpu.models.dense_graph import DenseEncoderLayer
+
+            layer_cls = DenseEncoderLayer
+        msa, y = layer_cls(self.cfg, self.smear_stop, name="layer")(x, g)
         # LayerNorm promotes to f32; without the cast layers 1..5 silently ran
         # in f32 (and scan requires a dtype-stable carry)
         return y.astype(x.dtype), msa.astype(x.dtype)
@@ -264,14 +270,21 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, feat, pos, mask, lap_pe):
-        from singa_tpu.models.dense_graph import build_dense_graph
-
         B, N, _ = feat.shape
         x = Linear(self.cfg.hidden_channels, name="protein_atom_emb")(feat)
         x = x + Linear(self.cfg.hidden_channels, name="laplacian_emb")(lap_pe)
-        g = build_dense_graph(
-            pos, mask, self.cfg.knn, self.cfg.smear_stop, self.cfg.edge_channels
-        )
+        if self.cfg.attn_form == "neighbor":
+            from singa_tpu.models.neighbor_graph import build_neighbor_graph
+
+            g = build_neighbor_graph(
+                pos, mask, self.cfg.knn, self.cfg.smear_stop, self.cfg.edge_channels
+            )
+        else:
+            from singa_tpu.models.dense_graph import build_dense_graph
+
+            g = build_dense_graph(
+                pos, mask, self.cfg.knn, self.cfg.smear_stop, self.cfg.edge_channels
+            )
         # layers run under nn.scan: XLA otherwise overlaps the rematerialised
         # backward of several layers, keeping multiple [B, N, N, kd] edge
         # tensors live at once (the batch-64 OOM); scan serialises them and

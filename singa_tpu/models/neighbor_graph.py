@@ -40,6 +40,7 @@ class NeighborGraph(NamedTuple):
     dist: jax.Array  # [B, N, K] f32 distances to those neighbours
     deg_attr: jax.Array  # [B, N, De] Laplacian diagonal (degree) attr
     node_mask: jax.Array  # [B, N]
+    neg_smear: jax.Array | None = None  # [B, N, K, De] shared across layers
 
 
 def build_neighbor_graph(
@@ -68,10 +69,19 @@ def build_neighbor_graph(
     nbr_mask = val > 0.5
     dist_full = jnp.sqrt(jnp.maximum(d2, 1e-12))
     dist = jnp.take_along_axis(dist_full, nbr, axis=2)
-    smear = gaussian_smearing(dist, 0.0, smear_stop, edge_channels)
-    deg = (smear * nbr_mask[..., None]).sum(axis=2)
+    from singa_tpu.dtypes import compute_dtype
+
+    neg_smear = -gaussian_smearing(dist, 0.0, smear_stop, edge_channels).astype(
+        compute_dtype()
+    )
+    deg = -(neg_smear * nbr_mask[..., None]).sum(axis=2)
     return NeighborGraph(
-        nbr=nbr, nbr_mask=nbr_mask, dist=dist, deg_attr=deg, node_mask=mask
+        nbr=nbr,
+        nbr_mask=nbr_mask,
+        dist=dist,
+        deg_attr=deg,
+        node_mask=mask,
+        neg_smear=neg_smear,
     )
 
 
@@ -107,13 +117,16 @@ class NeighborGraphMHA(nn.Module):
         k = grouped("k_lin", self.key_channels)
         v = grouped("v_lin", self.hidden_channels)  # [B, N, H, vd]
 
-        smear = gaussian_smearing(
-            g.dist, 0.0, self.smear_stop, self.edge_channels
-        ).astype(dt)
+        if g.neg_smear is not None:
+            neg_smear = g.neg_smear.astype(dt)
+        else:
+            neg_smear = -gaussian_smearing(
+                g.dist, 0.0, self.smear_stop, self.edge_channels
+            ).astype(dt)
         wk_net = EdgeMLP(kd, name="weight_k_net")
         wv_net = EdgeMLP(vd, name="weight_v_net")
-        w_k_off = wk_net(-smear)  # [B, N, K, kd]
-        w_v_off = wv_net(-smear)
+        w_k_off = wk_net(neg_smear)  # [B, N, K, kd]
+        w_v_off = wv_net(neg_smear)
         w_k_diag = wk_net(g.deg_attr.astype(dt))  # [B, N, kd]
         w_v_diag = wv_net(g.deg_attr.astype(dt))
 
@@ -122,12 +135,18 @@ class NeighborGraphMHA(nn.Module):
         )
         q_tilde = jnp.einsum("bnhe,de->bnhd", q, wk_kernel.astype(dt))
 
+        # neighbour rows via ONE-HOT matmuls: XLA row-gathers ran at ~2.6 GB/s
+        # here (round-2 profile); the [B, N, K, N] one-hot is generated inside
+        # the convolution fusion from an iota-compare and the contraction
+        # rides the MXU (~160 GF per gather at flagship shapes, ~2 ms).
+        onehot = (
+            g.nbr[..., None] == jnp.arange(N, dtype=g.nbr.dtype)[None, None, None]
+        ).astype(dt)
+
         def take_nodes(t):  # [B, N, H, d] -> [B, N, K, H, d] neighbour rows
             d = t.shape[-1]
             tf = t.reshape(B, N, H * d)
-            gathered = jnp.take_along_axis(
-                tf, g.nbr.reshape(B, N * K)[..., None], axis=1
-            )
+            gathered = jnp.einsum("bikn,bnf->bikf", onehot, tf)
             return gathered.reshape(B, N, K, H, d)
 
         k_nb = take_nodes(k)
