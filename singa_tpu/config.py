@@ -150,6 +150,9 @@ class SchedulerConfig:
 class TrainConfig:
     seed: int = 2022
     batch_size: int = 64
+    # accumulate gradients in microbatches of this size (None: monolithic);
+    # batch 64 does not fit monolithically on one 16 GB chip
+    microbatch: int | None = 32
     max_iters: int = 3
     val_freq: int = 1000
     pos_noise_std: float = 0.1

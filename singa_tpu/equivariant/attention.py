@@ -23,7 +23,6 @@ from singa_tpu.equivariant.layers import (
     Linear,
     RadialMLP,
     SO2Conv,
-    SO3Linear,
     get_norm_layer,
     separable_s2_activation,
     smooth_leaky_relu,

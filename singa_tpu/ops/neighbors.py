@@ -28,7 +28,6 @@ softmax over dynamic edge lists.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

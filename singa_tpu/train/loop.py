@@ -19,6 +19,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -108,8 +109,35 @@ class Trainer:
             logits = model.apply(params, batch)
             return cross_entropy_loss(logits, batch.tokens.target)
 
+        micro = self.config.train.microbatch
+
+        def grads_of(params, batch):
+            b = batch.batch_size
+            if not micro or micro >= b:
+                return jax.value_and_grad(loss_fn)(params, batch)
+            # gradient accumulation: equal-size microbatches give the exact
+            # same optimizer update at bounded memory (batch 64 doesn't fit
+            # monolithically on one 16 GB chip; see bench.py)
+            assert b % micro == 0, (b, micro)
+            k = b // micro
+            mbs = jax.tree_util.tree_map(
+                lambda a: a.reshape((k, micro) + a.shape[1:]), batch
+            )
+
+            def body(carry, mb):
+                acc_l, acc_g = carry
+                l, g = jax.value_and_grad(loss_fn)(params, mb)
+                return (acc_l + l, jax.tree_util.tree_map(jnp.add, acc_g, g)), None
+
+            init = (
+                jnp.zeros((), jnp.float32),
+                jax.tree_util.tree_map(jnp.zeros_like, params),
+            )
+            (l, g), _ = jax.lax.scan(body, init, mbs)
+            return l / k, jax.tree_util.tree_map(lambda x: x / k, g)
+
         def train_step(params, opt_state, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            loss, grads = grads_of(params, batch)
             gnorm = optax.global_norm(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

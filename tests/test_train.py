@@ -81,3 +81,35 @@ def test_trainer_loss_decreases_and_resumes(tmp_path):
     batch = trainer2._put(next(iter(data)))
     p, o, loss2, _ = trainer2._train_step(trainer2.params, trainer2.opt_state, batch)
     assert np.isfinite(float(loss2))
+
+
+def test_microbatch_grads_match_monolithic(tmp_path):
+    """Gradient accumulation (TrainConfig.microbatch) produces the same loss
+    and the same first-step update as the monolithic batch."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg_mono = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, microbatch=None)
+    )
+    cfg_micro = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, microbatch=2)
+    )
+    data = SyntheticDataset(4, cfg.shapes, TGT_LEN, seed=3)
+    batch = next(iter(data.epoch()))
+
+    losses = {}
+    params_after = {}
+    for name, c in [("mono", cfg_mono), ("micro", cfg_micro)]:
+        tr = Trainer(c, logdir=str(tmp_path / name), use_mesh=False)
+        tr.init_state(batch, seed=7)
+        p, o, loss, gn = tr._train_step(tr.params, tr.opt_state, batch)
+        losses[name] = float(loss)
+        params_after[name] = p
+    assert abs(losses["mono"] - losses["micro"]) < 2e-3, losses
+    flat_m = jax.tree_util.tree_leaves(params_after["mono"])
+    flat_u = jax.tree_util.tree_leaves(params_after["micro"])
+    for a, b in zip(flat_m, flat_u):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-4
+        )
