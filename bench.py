@@ -98,6 +98,23 @@ def main():
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    # XLA's cost analysis cannot see inside custom calls; add the analytic
+    # FLOPs of the Pallas kernels (dominated by the fused FFN's grid
+    # transforms in the L-padded layout) so `mfu` reflects real work.
+    e = cfg.embedding
+    n_nodes = batch_size * (cfg.shapes.num_protein_nodes + cfg.shapes.num_ligand_nodes)
+    P, G, H = 80, 210, e.ffn_hidden_channels
+    ffn_fwd = 2 * 2 * n_nodes * P * G * H + 4 * n_nodes * 49 * 16 * H
+    n_edges = batch_size * (
+        cfg.shapes.num_pp_edges + cfg.shapes.num_ll_edges
+        + cfg.shapes.num_lp_edges + cfg.shapes.num_pl_edges
+    )
+    s2_fwd = 2 * 2 * n_edges * 29 * 70 * e.attn_hidden_channels
+    calls = 2 * e.num_layers  # passes x blocks
+    # n_nodes/n_edges already cover the full batch (microbatching splits the
+    # same total work across scan iterations)
+    pallas_flops = calls * (ffn_fwd + s2_fwd) * 3.5  # fwd + ~2.5x bwd
+    step_flops += pallas_flops
     params, opt_state, loss = compiled(params, opt_state, batch)
     jax.block_until_ready(loss)
     print(

@@ -181,6 +181,7 @@ def synthetic_batch(
     shapes: ShapeConfig = ShapeConfig(),
     tgt_len: int = 200,
     vocab_size: int = 116,
+    smiles_tokens: bool = False,
 ) -> ComplexBatch:
     """Generate a geometrically plausible random batch (tests & benchmarks).
 
@@ -247,13 +248,26 @@ def synthetic_batch(
     # tokens: '&' + body + '$'(in target) + '^' padding
     tok_in = np.full((batch_size, tgt_len), PAD_TOKEN, dtype=np.int32)
     tok_tgt = np.full((batch_size, tgt_len), PAD_TOKEN, dtype=np.int32)
-    for b in range(batch_size):
-        n = int(rng.integers(10, min(60, tgt_len - 2)))
-        body = rng.integers(3, vocab_size, size=n)
-        tok_in[b, 0] = SOS_TOKEN
-        tok_in[b, 1 : n + 1] = body
-        tok_tgt[b, :n] = body
-        tok_tgt[b, n] = EOS_TOKEN
+    if smiles_tokens:
+        # real drug SMILES (chem/drug_corpus.py) so the decoder has actual
+        # grammar to learn — used by the %valid generation demonstration
+        from singa_tpu.chem.drug_corpus import CORPUS
+        from singa_tpu.chem.tokenizer import encode, split_smiles
+
+        usable = [
+            smi for _, smi in CORPUS if len(split_smiles(smi)) + 1 <= tgt_len
+        ]
+        picks = rng.integers(0, len(usable), size=batch_size)
+        for b, p in enumerate(picks):
+            tok_in[b], tok_tgt[b] = encode(usable[int(p)], tgt_len)
+    else:
+        for b in range(batch_size):
+            n = int(rng.integers(10, min(60, tgt_len - 2)))
+            body = rng.integers(3, vocab_size, size=n)
+            tok_in[b, 0] = SOS_TOKEN
+            tok_in[b, 1 : n + 1] = body
+            tok_tgt[b, :n] = body
+            tok_tgt[b, n] = EOS_TOKEN
 
     j = jnp.asarray
     batch = ComplexBatch(

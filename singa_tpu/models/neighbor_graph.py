@@ -68,7 +68,13 @@ def build_neighbor_graph(
     val, nbr = jax.lax.top_k(adj.astype(jnp.float32), K)
     nbr_mask = val > 0.5
     dist_full = jnp.sqrt(jnp.maximum(d2, 1e-12))
-    dist = jnp.take_along_axis(dist_full, nbr, axis=2)
+    # one-hot contraction instead of take_along_axis (15 ms in the profile:
+    # XLA row-gathers of [B, N, N] pages are slow; the one-hot is generated
+    # in-fusion and the reduction is a cheap 1.2 GF contraction)
+    onehot = (
+        nbr[..., None] == jnp.arange(N, dtype=nbr.dtype)[None, None, None]
+    ).astype(dist_full.dtype)
+    dist = jnp.einsum("bikn,bin->bik", onehot, dist_full)
     from singa_tpu.dtypes import compute_dtype
 
     neg_smear = -gaussian_smearing(dist, 0.0, smear_stop, edge_channels).astype(

@@ -31,13 +31,55 @@ def main():
     from singa_tpu.generate.beam import beam_search, make_cached_decode_fn
     from singa_tpu.models.singa import SINGA
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    beams = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(args[0]) if args else 8
+    beams = int(args[1]) if len(args) > 1 else 20
+    pretrain = 0
+    if "--pretrain" in sys.argv:
+        pretrain = int(sys.argv[sys.argv.index("--pretrain") + 1])
     cfg = Config()
     set_compute_dtype(cfg.train.compute_dtype)
     batch = synthetic_batch(0, batch_size=B, shapes=cfg.shapes, tgt_len=cfg.model.decoder.tgt_len)
     model = SINGA(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    if pretrain:
+        # brief CE pretraining on drug-SMILES targets (chem/drug_corpus.py):
+        # gives the decoder real grammar so %valid is a meaningful number
+        import optax
+
+        from singa_tpu.models.singa import cross_entropy_loss
+        from singa_tpu.train.optim import make_optimizer
+
+        opt = make_optimizer(cfg.train.optimizer)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, b):
+            def loss_fn(p):
+                # mask_pad: with ~25-token drugs in a 200-token bucket, the
+                # reference-parity unmasked loss is 85% pad prediction and an
+                # undertrained model decodes to pad/EOS everywhere
+                return cross_entropy_loss(
+                    model.apply(p, b), b.tokens.target, mask_pad=True
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        t0 = time.time()
+        for i in range(pretrain):
+            tb = synthetic_batch(
+                i, batch_size=32, shapes=cfg.shapes,
+                tgt_len=cfg.model.decoder.tgt_len, smiles_tokens=True,
+            )
+            params, opt_state, loss = step(params, opt_state, tb)
+        print(
+            f"pretrained {pretrain} steps on drug SMILES in "
+            f"{time.time()-t0:.0f}s, final CE {float(loss):.3f}",
+            file=sys.stderr,
+        )
 
     enc, pad = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))(params, batch)
     prop = jnp.ones((B, 3), jnp.float32)
@@ -77,14 +119,19 @@ def main():
 
     smiles = [decode(t) for t in np.asarray(tokens).reshape(-1, tokens.shape[-1])]
     valid, qeds, sas = [], [], []
+    errs = []
     for smi in smiles:
         try:
             mol = parse_smiles(smi)
             valid.append(smi)
             qeds.append(qed(mol))
             sas.append(sa_score(mol))
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001
+            errs.append((smi, str(e)))
+    for smi, err in errs[:4]:
+        print(f"  invalid: {smi[:60]!r}: {err[:60]}", file=sys.stderr)
+    for smi in valid[:4]:
+        print(f"  valid:   {smi[:60]!r}", file=sys.stderr)
     pct_valid = 100.0 * len(valid) / max(len(smiles), 1)
     pct_unique = 100.0 * len(set(valid)) / max(len(valid), 1)
     print(
