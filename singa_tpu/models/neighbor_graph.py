@@ -91,6 +91,13 @@ def build_neighbor_graph(
     )
 
 
+def _force_fused_attn() -> bool:
+    """Test hook: run the fused kernel (interpret mode) off-TPU."""
+    import os
+
+    return bool(os.environ.get("SINGA_TPU_FORCE_FUSED_ATTN"))
+
+
 class NeighborGraphMHA(nn.Module):
     """Drop-in gather-form equivalent of DenseGraphMHA (same params)."""
 
@@ -123,16 +130,8 @@ class NeighborGraphMHA(nn.Module):
         k = grouped("k_lin", self.key_channels)
         v = grouped("v_lin", self.hidden_channels)  # [B, N, H, vd]
 
-        if g.neg_smear is not None:
-            neg_smear = g.neg_smear.astype(dt)
-        else:
-            neg_smear = -gaussian_smearing(
-                g.dist, 0.0, self.smear_stop, self.edge_channels
-            ).astype(dt)
         wk_net = EdgeMLP(kd, name="weight_k_net")
         wv_net = EdgeMLP(vd, name="weight_v_net")
-        w_k_off = wk_net(neg_smear)  # [B, N, K, kd]
-        w_v_off = wv_net(neg_smear)
         w_k_diag = wk_net(g.deg_attr.astype(dt))  # [B, N, kd]
         w_v_diag = wv_net(g.deg_attr.astype(dt))
 
@@ -140,43 +139,91 @@ class NeighborGraphMHA(nn.Module):
             "weight_k_lin_kernel", torch_linear_kernel_init, (kd, kd)
         )
         q_tilde = jnp.einsum("bnhe,de->bnhd", q, wk_kernel.astype(dt))
-
-        # neighbour rows via ONE-HOT matmuls: XLA row-gathers ran at ~2.6 GB/s
-        # here (round-2 profile); the [B, N, K, N] one-hot is generated inside
-        # the convolution fusion from an iota-compare and the contraction
-        # rides the MXU (~160 GF per gather at flagship shapes, ~2 ms).
-        onehot = (
-            g.nbr[..., None] == jnp.arange(N, dtype=g.nbr.dtype)[None, None, None]
-        ).astype(dt)
-
-        def take_nodes(t):  # [B, N, H, d] -> [B, N, K, H, d] neighbour rows
-            d = t.shape[-1]
-            tf = t.reshape(B, N, H * d)
-            gathered = jnp.einsum("bikn,bnf->bikf", onehot, tf)
-            return gathered.reshape(B, N, K, H, d)
-
-        k_nb = take_nodes(k)
-        v_nb = take_nodes(v)
-
         scale = 1.0 / np.sqrt(kd)
-        # 3-factor contractions stay elementwise+reduce so the [B,N,K,H,d]
-        # intermediate lives only inside the fusion, never in HBM
-        scores_off = (
-            q_tilde[:, :, None, :, :] * w_k_off[:, :, :, None, :] * k_nb
-        ).sum(-1) * scale  # [B, N, K, H]
         scores_diag = (q_tilde * w_k_diag[:, :, None, :] * k).sum(-1) * scale
+        neg = jnp.asarray(-1e9, jnp.float32)
+        s_diag = jnp.where(
+            g.node_mask[..., None], scores_diag.astype(jnp.float32), neg
+        )
 
-        neg = jnp.asarray(-1e9, scores_off.dtype)
-        s_off = jnp.where(g.nbr_mask[..., None], scores_off, neg)
-        s_diag = jnp.where(g.node_mask[..., None], scores_diag, neg)
-        s = jnp.concatenate([s_off, s_diag[:, :, None, :]], axis=2)  # [B,N,K+1,H]
-        alpha = jax.nn.softmax(s.astype(jnp.float32), axis=2).astype(dt)
-        a_off, a_diag = alpha[:, :, :K], alpha[:, :, K]
+        from singa_tpu.equivariant.layers import _use_pallas
 
-        agg = (
-            a_off[..., None] * w_v_off[:, :, :, None, :] * v_nb
-        ).sum(axis=2)  # [B, N, H, vd]
-        agg = agg + a_diag[..., None] * (w_v_diag[:, :, None, :] * v)
+        if _use_pallas() or _force_fused_attn():
+            # fused kernel: smear + both EdgeMLPs + one-hot gathers + softmax
+            # + aggregate in VMEM (ops/pallas/neighbor_attn.py)
+            from singa_tpu.ops.pallas.neighbor_attn import neighbor_attn_fused
+
+            p = self.variables["params"]
+            ek = p["weight_k_net"]
+            ev = p["weight_v_net"]
+            width = self.smear_stop / (self.edge_channels - 1)
+            coeff = -0.5 / (width * width)
+            centers = jnp.linspace(
+                0.0, self.smear_stop, self.edge_channels, dtype=jnp.float32
+            )
+            diag_value = (w_v_diag[:, :, None, :] * v).reshape(B, N, H * vd)
+            agg = neighbor_attn_fused(
+                q_tilde.reshape(B, N, H * kd),
+                k.reshape(B, N, H * kd),
+                v.reshape(B, N, H * vd),
+                g.nbr,
+                g.nbr_mask,
+                g.dist.astype(jnp.float32),
+                s_diag,
+                diag_value,
+                centers,
+                ek["Linear_0"]["Dense_0"]["kernel"],
+                ek["Linear_0"]["Dense_0"]["bias"],
+                ek["Linear_1"]["Dense_0"]["kernel"],
+                ek["Linear_1"]["Dense_0"]["bias"],
+                ev["Linear_0"]["Dense_0"]["kernel"],
+                ev["Linear_0"]["Dense_0"]["bias"],
+                ev["Linear_1"]["Dense_0"]["kernel"],
+                ev["Linear_1"]["Dense_0"]["bias"],
+                float(coeff),
+                jax.default_backend() != "tpu",
+            ).reshape(B, N, H, vd)
+        else:
+            if g.neg_smear is not None:
+                neg_smear = g.neg_smear.astype(dt)
+            else:
+                neg_smear = -gaussian_smearing(
+                    g.dist, 0.0, self.smear_stop, self.edge_channels
+                ).astype(dt)
+            w_k_off = wk_net(neg_smear)  # [B, N, K, kd]
+            w_v_off = wv_net(neg_smear)
+
+            # neighbour rows via ONE-HOT matmuls: XLA row-gathers ran at
+            # ~2.6 GB/s here (round-2 profile); the [B, N, K, N] one-hot is
+            # generated inside the convolution fusion from an iota-compare
+            # and the contraction rides the MXU.
+            onehot = (
+                g.nbr[..., None]
+                == jnp.arange(N, dtype=g.nbr.dtype)[None, None, None]
+            ).astype(dt)
+
+            def take_nodes(t):  # [B, N, H, d] -> [B, N, K, H, d]
+                d = t.shape[-1]
+                tf = t.reshape(B, N, H * d)
+                gathered = jnp.einsum("bikn,bnf->bikf", onehot, tf)
+                return gathered.reshape(B, N, K, H, d)
+
+            k_nb = take_nodes(k)
+            v_nb = take_nodes(v)
+            scores_off = (
+                q_tilde[:, :, None, :, :] * w_k_off[:, :, :, None, :] * k_nb
+            ).sum(-1) * scale  # [B, N, K, H]
+            s_off = jnp.where(
+                g.nbr_mask[..., None], scores_off.astype(jnp.float32), neg
+            )
+            s = jnp.concatenate([s_off, s_diag[:, :, None, :]], axis=2)
+            alpha = jax.nn.softmax(s, axis=2).astype(dt)
+            a_off, a_diag = alpha[:, :, :K], alpha[:, :, K]
+
+            agg = (
+                a_off[..., None] * w_v_off[:, :, :, None, :] * v_nb
+            ).sum(axis=2)  # [B, N, H, vd]
+            agg = agg + a_diag[..., None] * (w_v_diag[:, :, None, :] * v)
         agg = Linear(vd, name="weight_v_lin")(agg)
         aggr = agg.reshape(B, N, H * vd)
 
