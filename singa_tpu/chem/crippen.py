@@ -7,9 +7,10 @@ atom classes are implemented as procedural predicates evaluated in the
 published first-match-wins order, with the published contribution values.
 
 Verified against RDKit-computed literature values in
-tests/test_chem_properties.py (ethanol -0.0014, benzene 1.6866, aspirin
-1.3101, ...); agreement on drug-like molecules is limited only by
-aromaticity-perception differences (documented in chem/mol.py).
+tests/test_chem_properties.py::test_logp_rdkit_pins (ethanol -0.0014,
+benzene 1.6866, aspirin 1.3101, caffeine -1.0293, ibuprofen 3.0732, ...);
+agreement on drug-like molecules is limited only by aromaticity-perception
+differences (documented in chem/mol.py).
 """
 from __future__ import annotations
 

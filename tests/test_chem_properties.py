@@ -45,6 +45,26 @@ def test_logp_hydrophobic_positive_polar_negative():
     assert logp(_glycerol()) < 0.0
 
 
+def test_logp_rdkit_pins():
+    """Exact RDKit Crippen.MolLogP literature values (the numbers the
+    chem/crippen.py docstring promises) — the reference computes its logP
+    label through RDKit (utils/PLParser.py:381)."""
+    from singa_tpu.chem.smiles_parser import parse_smiles
+
+    pins = {
+        "CCO": -0.0014,  # ethanol
+        "c1ccccc1": 1.6866,  # benzene
+        "CC(=O)Oc1ccccc1C(=O)O": 1.3101,  # aspirin
+        "Cn1cnc2c1c(=O)n(C)c(=O)n2C": -1.0293,  # caffeine
+        "CC(C)Cc1ccc(cc1)C(C)C(=O)O": 3.0732,  # ibuprofen
+        "CC(=O)Nc1ccc(O)cc1": 1.3506,  # paracetamol
+        "CCCCCC": 2.5866,  # hexane
+        "Oc1ccccc1": 1.3922,  # phenol
+    }
+    for smi, want in pins.items():
+        assert abs(logp(parse_smiles(smi)) - want) < 5e-4, smi
+
+
 def test_tpsa_counts_polar_atoms():
     assert tpsa(_hexane()) == 0.0
     # 3 hydroxyls ~ 3 * 20.23
