@@ -93,7 +93,9 @@ class RadialMLP(nn.Module):
         for i, ch in enumerate(self.channels):
             x = Linear(ch)(x)
             if i < n - 1:
-                x = nn.LayerNorm()(x)
+                # epsilon: torch nn.LayerNorm default (1e-5); flax defaults
+                # to 1e-6, which broke fp64 parity with the reference
+                x = nn.LayerNorm(epsilon=1e-5)(x)
                 x = jax.nn.silu(x)
         return x
 
@@ -175,7 +177,9 @@ class EquivariantRMSNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_dtype = x.dtype
-        x = x.astype(jnp.float32)
+        # f32 statistics under mixed precision; keeps f64 when given f64
+        # (the torch-parity tests run the norms in double)
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         C = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (self.lmax + 1, C))
         bias = self.param("bias", nn.initializers.zeros, (C,)) if self.centering else None
@@ -243,7 +247,7 @@ class EquivariantLayerNormSH(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_dtype = x.dtype
-        x = x.astype(jnp.float32)
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         C = x.shape[-1]
         out0 = nn.LayerNorm(epsilon=self.eps, name="norm_l0")(x[:, :1, :])
         if self.lmax == 0:
