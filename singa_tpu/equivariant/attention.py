@@ -30,6 +30,27 @@ from singa_tpu.equivariant.layers import (
 from singa_tpu.ops.neighbors import EdgeEngine
 
 
+def _force_fused_so2() -> bool:
+    """Test hook: run the fused SO2 edge-attention kernel (interpret mode)
+    off-TPU."""
+    import os
+
+    return bool(os.environ.get("SINGA_TPU_FORCE_FUSED_SO2"))
+
+
+def _fused_so2_enabled() -> bool:
+    """Opt-in hook for the fused SO2 edge-attention kernel.
+
+    Default OFF: measured fwd+bwd at flagship shapes is 40.1 ms vs 21.5 ms
+    for the composed XLA chain (tools/bench_so2_attn.py, round 3) — the
+    channel-padded conv-1 (32->128 lanes, 4x FLOPs) and the small-K rotate
+    matmuls keep the kernel below XLA's fusion here. Kept as an opt-in and
+    under parity tests pending a tighter-layout redesign."""
+    import os
+
+    return bool(os.environ.get("SINGA_TPU_FUSED_SO2"))
+
+
 class EdgeDegreeEmbedding(nn.Module):
     """Invariant edge scalars -> m=0 edge-frame features -> rotate back ->
     degree-rescaled sum at the target node (EF_layers.py:86-149)."""
@@ -167,13 +188,15 @@ class GraphAttention(nn.Module):
         xs = edges.gather_src(x_src)
         xt = edges.gather_dst(x_dst)
         msg = jnp.concatenate([xs, xt], axis=-1)  # [E, coeffs, 2C]
-        # the whole edge-frame chain runs m-primary: every layout permutation
-        # is folded into the constant matrices on either side (J, grids,
-        # per-degree projection weights) — zero per-edge permutation gathers
-        msg = so3.rotate(wigner, msg, self.lmax, self.mmax, m_primary=True)
+
+        from jax.ad_checkpoint import checkpoint_name
+
+        from singa_tpu.equivariant.layers import _use_pallas
 
         extra = self.num_heads * self.attn_alpha_channels + self.hidden_channels
-        msg, x0_extra = SO2Conv(
+        alpha_ch = self.num_heads * self.attn_alpha_channels
+        F2 = self.num_heads * self.attn_value_channels
+        conv1 = SO2Conv(
             features=self.hidden_channels,
             lmax=self.lmax,
             mmax=self.mmax,
@@ -182,29 +205,78 @@ class GraphAttention(nn.Module):
             m_primary_in=True,
             m_primary_out=True,
             name="so2_conv_1",
-        )(msg, x_edge)
-
-        from jax.ad_checkpoint import checkpoint_name
-
-        alpha_ch = self.num_heads * self.attn_alpha_channels
-        x_alpha = x0_extra[:, :alpha_ch]
-        gating = x0_extra[:, alpha_ch:]
-        # the widest edge tensors in the block ([E, 29, 128/112]); under the
-        # 's2x' remat policy they are recomputed instead of saved (batch 64)
-        msg = checkpoint_name(msg, "conv_wide")
-        msg = separable_s2_activation(
-            gating, msg, self.lmax, self.mmax, m_primary=True
         )
-
-        msg = SO2Conv(
-            features=self.num_heads * self.attn_value_channels,
+        conv2 = SO2Conv(
+            features=F2,
             lmax=self.lmax,
             mmax=self.mmax,
             m_primary_in=True,
             m_primary_out=True,
             name="so2_conv_2",
-        )(msg)
-        msg = checkpoint_name(msg, "conv_wide")
+        )
+
+        fused = (
+            ((_use_pallas() and _fused_so2_enabled()) or _force_fused_so2())
+            and isinstance(wigner, so3.EdgeFrame)
+            and self.mmax == 2
+            and self.hidden_channels % 128 == 0
+        )
+        if fused:
+            # ONE Pallas kernel for rotate -> SO2 conv 1 -> separable S2 ->
+            # SO2 conv 2 (ops/pallas/so2_attn.py): in the round-3 profile
+            # this chain ran as ~20 XLA ops round-tripping HBM per stage.
+            from singa_tpu.ops.pallas.so2_attn import _grids, so2_attn_fused
+
+            w1s, b1, rad1 = conv1(msg, x_edge, fused_parts=True)
+            w2s, b2, _ = conv2(
+                None, None, fused_parts=True, c_in=self.hidden_channels
+            )
+            tgj, fgj = (jnp.asarray(g) for g in _grids(self.lmax, self.mmax))
+            dt = compute_dtype()
+            zs = so2_attn_fused(
+                msg.astype(dt),
+                rad1.astype(dt),
+                wigner.phi,
+                wigner.beta,
+                w1s,
+                b1,
+                w2s,
+                b2,
+                tgj,
+                fgj,
+                self.lmax,
+                self.mmax,
+                self.hidden_channels,
+                F2,
+                alpha_ch,
+                jax.default_backend() != "tpu",
+            )
+            mapping0 = so3.CoefficientMapping(self.lmax, self.mmax)
+            secs = [mapping0.m_size[0]] + [2 * s for s in mapping0.m_size[1:]]
+            E = msg.shape[0]
+            msg = jnp.concatenate(
+                [z.reshape(E, r, F2) for z, r in zip(zs[:-1], secs)], axis=1
+            )
+            x0_extra = zs[-1]
+            x_alpha = x0_extra[:, :alpha_ch]
+            msg = checkpoint_name(msg, "conv_wide")
+        else:
+            # the whole edge-frame chain runs m-primary: every layout
+            # permutation is folded into the constant matrices on either side
+            # (J, grids, per-degree projection weights) — zero per-edge
+            # permutation gathers
+            msg = so3.rotate(wigner, msg, self.lmax, self.mmax, m_primary=True)
+            msg, x0_extra = conv1(msg, x_edge)
+            x_alpha = x0_extra[:, :alpha_ch]
+            gating = x0_extra[:, alpha_ch:]
+            # the widest edge tensors in the block ([E, 29, 128/112]); under
+            # the 's2x' remat policy they are recomputed instead of saved
+            msg = checkpoint_name(msg, "conv_wide")
+            msg = separable_s2_activation(
+                gating, msg, self.lmax, self.mmax, m_primary=True
+            )
+            msg = conv2(msg)
+            msg = checkpoint_name(msg, "conv_wide")
 
         # attention logits from the invariant m=0 channel
         x_alpha = x_alpha.reshape(-1, self.num_heads, self.attn_alpha_channels)

@@ -412,15 +412,30 @@ class SO2Conv(nn.Module):
     m_primary_out: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, x_edge: Optional[jax.Array] = None):
+    def __call__(
+        self,
+        x: Optional[jax.Array],
+        x_edge: Optional[jax.Array] = None,
+        fused_parts: bool = False,
+        c_in: Optional[int] = None,
+    ):
         """Fused execution: all m-blocks run as ONE matmul against a
         block-structured weight (the complex pair convolution
         [[K_r, K_i], [-K_i, K_r]] embedded per order), assembled from the
         per-m parameters at trace time. Removes the per-m slice/concat HBM
-        round-trips that dominated the unfused profile."""
+        round-trips that dominated the unfused profile.
+
+        ``fused_parts=True`` declares the identical parameters but returns
+        ``(section_weights, bias, rad_full)`` instead of computing — the
+        inputs to the fully-fused edge-attention kernel
+        (ops/pallas/so2_attn.py), which runs both convolutions and the S2
+        activation of a GraphAttention in one Pallas call. ``x`` may be any
+        array with the right trailing channel dim (values unused) or None
+        with ``c_in`` given.
+        """
         mapping = CoefficientMapping(self.lmax, self.mmax)
-        E = x.shape[0]
-        c_in = x.shape[-1]
+        E = x.shape[0] if x is not None else (x_edge.shape[0] if x_edge is not None else 0)
+        c_in = x.shape[-1] if x is not None else c_in
         F = self.features
         extra = self.extra_m0_features or 0
         m_sizes = mapping.m_size
@@ -429,18 +444,20 @@ class SO2Conv(nn.Module):
         in_w = n_trunc * c_in
         out_w = n_trunc * F + extra
 
-        if self.m_primary_in:
-            xm = x.reshape(E, in_w)
-        else:
-            xm = mapping.to_m_primary(x).reshape(E, in_w)
-        # re-tag the flat view: remat policies exclude NAMED values, but the
-        # reshape is a distinct value the partial-eval would happily save
-        # instead of the tagged [E, n_trunc, C] form
         from jax.ad_checkpoint import checkpoint_name
 
-        xm = checkpoint_name(xm, "conv_wide")
+        if not fused_parts:
+            if self.m_primary_in:
+                xm = x.reshape(E, in_w)
+            else:
+                xm = mapping.to_m_primary(x).reshape(E, in_w)
+            # re-tag the flat view: remat policies exclude NAMED values, but
+            # the reshape is a distinct value the partial-eval would happily
+            # save instead of the tagged [E, n_trunc, C] form
+            xm = checkpoint_name(xm, "conv_wide")
 
         # ---- radial modulation (reference SO2_Convolution rad_func path) ----
+        rad_full = None
         if self.edge_channels is not None:
             total_rad = n0 * c_in + sum(s * c_in for s in m_sizes[1:])
             rad = RadialMLP(tuple(self.edge_channels) + (total_rad,))(x_edge)
@@ -455,7 +472,8 @@ class SO2Conv(nn.Module):
                 parts.extend((seg, seg))  # cos rows, sin rows
                 off += s * c_in
             rad_full = jnp.concatenate(parts, axis=-1)
-            xm = xm * rad_full.astype(xm.dtype)
+            if not fused_parts:
+                xm = xm * rad_full.astype(xm.dtype)
 
         # ---- parameters (same shapes as the reference's per-m Linears) ----
         bound0 = 1.0 / np.sqrt(n0 * c_in)
@@ -488,23 +506,35 @@ class SO2Conv(nn.Module):
         # block work and every slice keeps >=128 output lanes on the MXU.
         del in_w, out_w  # shape bookkeeping only
         dt = compute_dtype()
+        W_ms = []
+        for m in range(1, self.mmax + 1):
+            sz = m_sizes[m]
+            K = k_m[m - 1]
+            K_r, K_i = K[:, : sz * F], K[:, sz * F :]
+            # complex pair convolution [cos; sin] @ [[K_r, K_i], [-K_i, K_r]]
+            W_ms.append(
+                jnp.concatenate(
+                    [
+                        jnp.concatenate([K_r, K_i], axis=1),
+                        jnp.concatenate([-K_i, K_r], axis=1),
+                    ],
+                    axis=0,
+                )
+            )
+        if fused_parts:
+            if rad_full is not None:
+                rad_full = rad_full.reshape(E, n_trunc, c_in)
+            return [w0] + W_ms, b0, rad_full
+
         x0 = xm[:, : n0 * c_in].astype(dt)
         y0 = x0 @ w0.astype(dt) + b0.astype(dt)
         outs = [y0[:, : n0 * F]]
         off = n0 * c_in
         for m in range(1, self.mmax + 1):
             sz = m_sizes[m]
-            K = k_m[m - 1].astype(dt)
-            K_r, K_i = K[:, : sz * F], K[:, sz * F :]
-            # complex pair convolution [cos; sin] @ [[K_r, K_i], [-K_i, K_r]]
-            W_m = jnp.concatenate(
-                [
-                    jnp.concatenate([K_r, K_i], axis=1),
-                    jnp.concatenate([-K_i, K_r], axis=1),
-                ],
-                axis=0,
+            outs.append(
+                xm[:, off : off + 2 * sz * c_in].astype(dt) @ W_ms[m - 1].astype(dt)
             )
-            outs.append(xm[:, off : off + 2 * sz * c_in].astype(dt) @ W_m)
             off += 2 * sz * c_in
         y = jnp.concatenate(outs, axis=-1)
         out = y.reshape(E, n_trunc, F)

@@ -288,9 +288,18 @@ class Encoder(nn.Module):
         # layers run under nn.scan: XLA otherwise overlaps the rematerialised
         # backward of several layers, keeping multiple [B, N, N, kd] edge
         # tensors live at once (the batch-64 OOM); scan serialises them and
-        # compiles the layer body once
+        # compiles the layer body once.
+        # Remat only the DENSE form: the neighbor form's pair tensors live in
+        # VMEM inside the fused kernel, so its per-layer residuals are small
+        # node tensors — remat would only re-run the Pallas forward in the
+        # scan backward (27 ms/step of the round-3 profile) to save ~30 MB.
+        body = (
+            _ScanEncoderLayer
+            if self.cfg.attn_form == "neighbor"
+            else nn.remat(_ScanEncoderLayer)
+        )
         scan = nn.scan(
-            nn.remat(_ScanEncoderLayer),
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.cfg.num_interactions,

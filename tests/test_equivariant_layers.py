@@ -292,3 +292,160 @@ def test_pallas_so3_ffn_fused_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4, err_msg=name
         )
+
+
+def test_pallas_so2_attn_fused_parity():
+    """Fused rotate+SO2conv+sepS2+SO2conv kernel (interpret mode) == the
+    composed XLA chain: forward, and gradients for every differentiable
+    input (edge features, radial modulation, all conv weights/biases)."""
+    from singa_tpu.equivariant.layers import separable_s2_activation
+    from singa_tpu.ops.pallas.so2_attn import _grids, so2_attn_fused
+
+    lmax, mmax = LMAX, MMAX
+    mapping = so3.CoefficientMapping(lmax, mmax)
+    n_trunc = mapping.n_trunc
+    n0 = mapping.m_size[0]
+    secs = [n0] + [2 * s for s in mapping.m_size[1:]]
+    c_in, H, F2, alpha_ch = 8, 128, 8, 6
+    extra_ch = alpha_ch + H
+    E = 10
+    rng = np.random.default_rng(23)
+    r = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+    x = r(E, (lmax + 1) ** 2, c_in)
+    rad = r(E, n_trunc, c_in) + 1.0
+    phi = jnp.asarray(rng.uniform(-np.pi, np.pi, E).astype(np.float32))
+    beta = jnp.asarray(rng.uniform(0, np.pi, E).astype(np.float32))
+    w1s = [r(rows * c_in, rows * H + (extra_ch if i == 0 else 0))
+           for i, rows in enumerate(secs)]
+    b1 = r(n0 * H + extra_ch)
+    w2s = [r(rows * H, rows * F2) for rows in secs]
+    b2 = r(n0 * F2)
+    tgj, fgj = (jnp.asarray(g) for g in _grids(lmax, mmax))
+
+    def ref(x, rad, w1s, b1, w2s, b2):
+        mp = so3.rotate(
+            so3.EdgeFrame(phi=phi, beta=beta), x, lmax, mmax, m_primary=True
+        )
+        flat = (mp * rad).reshape(E, n_trunc * c_in)
+        off = 0
+        ys = []
+        for i, rows in enumerate(secs):
+            y = flat[:, off : off + rows * c_in] @ w1s[i]
+            if i == 0:
+                y = y + b1
+            ys.append(y)
+            off += rows * c_in
+        extra = ys[0][:, n0 * H :]
+        h = jnp.concatenate(
+            [ys[0][:, : n0 * H].reshape(E, n0, H)]
+            + [y.reshape(E, rows, H) for y, rows in zip(ys[1:], secs[1:])],
+            axis=1,
+        )
+        gating = extra[:, alpha_ch:]
+        mid = separable_s2_activation(gating, h, lmax, mmax, m_primary=True)
+        mid_flat = mid.reshape(E, n_trunc * H)
+        zs = []
+        off = 0
+        for i, rows in enumerate(secs):
+            z = mid_flat[:, off : off + rows * H] @ w2s[i]
+            if i == 0:
+                z = z + b2
+            zs.append(z)
+            off += rows * H
+        return tuple(zs) + (extra,)
+
+    def fused(x, rad, w1s, b1, w2s, b2):
+        return so2_attn_fused(
+            x, rad, phi, beta, w1s, b1, w2s, b2, tgj, fgj,
+            lmax, mmax, H, F2, alpha_ch, True,
+        )
+
+    args = (x, rad, w1s, b1, w2s, b2)
+    out_ref = ref(*args)
+    out = fused(*args)
+    for i, (a, b) in enumerate(zip(out, out_ref)):
+        # rtol 2e-4: the kernel folds the z-rotation flips into the J
+        # matmuls (diag(sin).FLIP == -FLIP.diag(sin)), so the fp32 sums are
+        # reassociated relative to the elementwise z-combine reference;
+        # outputs reach O(20) through two conv contractions.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=2e-4,
+            err_msg=f"output {i}",
+        )
+
+    cts = [jnp.asarray(rng.normal(size=o.shape).astype(np.float32)) for o in out_ref]
+
+    def loss(fn):
+        def f(*a):
+            return sum(jnp.vdot(o, c) for o, c in zip(fn(*a), cts))
+
+        return f
+
+    g_ref = jax.grad(loss(ref), argnums=tuple(range(6)))(*args)
+    g = jax.grad(loss(fused), argnums=tuple(range(6)))(*args)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat = jax.tree_util.tree_leaves(g)
+    assert len(flat) == len(flat_ref)
+    for i, (a, b) in enumerate(zip(flat, flat_ref)):
+        # 1e-4: grads accumulate over the E-edge reduction through the
+        # recomputed grid chain (cf. the FFN kernel tolerance note above)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+            err_msg=f"grad {i}",
+        )
+
+
+def test_graph_attention_fused_path_matches_xla(monkeypatch):
+    """Full GraphAttention module: the fused-kernel routing (fused_parts
+    weight assembly -> so2_attn_fused -> section reassembly) produces the
+    same output and input-gradient as the composed XLA path, under ONE
+    shared parameter dict (checkpoint compatibility across the switch)."""
+    from singa_tpu.equivariant.attention import GraphAttention
+    from singa_tpu.ops.neighbors import EdgeEngine
+
+    lmax, mmax = LMAX, MMAX
+    B, N, E, K = 1, 6, 12, 4
+    C, De = 8, 8
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(N, (lmax + 1) ** 2, C)).astype(np.float32) * 0.3)
+    x_edge = jnp.asarray(rng.normal(size=(E, De)).astype(np.float32))
+    src = rng.integers(0, N, E).astype(np.int32)
+    dst = np.repeat(np.arange(N), E // N)[:E].astype(np.int32)
+    index = jnp.asarray(np.stack([src, dst], -1)[None])
+    mask = jnp.ones((B, E), bool)
+    table = np.full((B, N, K), E, np.int32)
+    fill = np.zeros(N, np.int32)
+    for e, d in enumerate(dst):
+        table[0, d, fill[d]] = e
+        fill[d] += 1
+    edges = EdgeEngine.create(index, mask, jnp.asarray(table), N, N)
+    vec = rng.normal(size=(E, 3)).astype(np.float32)
+    frame = so3.edge_frame(jnp.asarray(vec))
+
+    mod = GraphAttention(
+        sphere_channels=C,
+        hidden_channels=128,
+        num_heads=2,
+        attn_alpha_channels=3,
+        attn_value_channels=4,
+        output_channels=C,
+        lmax=lmax,
+        mmax=mmax,
+        edge_channels=(16, 16),
+    )
+    params = mod.init(jax.random.PRNGKey(0), x, x, x_edge, edges, frame)
+
+    def run(x):
+        return mod.apply(params, x, x, x_edge, edges, frame)
+
+    monkeypatch.delenv("SINGA_TPU_FORCE_FUSED_SO2", raising=False)
+    out_ref, grad_ref = jax.value_and_grad(lambda x: jnp.sum(run(x) ** 2))(x)
+    monkeypatch.setenv("SINGA_TPU_FORCE_FUSED_SO2", "1")
+    out_fused, grad_fused = jax.value_and_grad(lambda x: jnp.sum(run(x) ** 2))(x)
+    # 2e-4: fp32 reassociation between the folded-matmul rotate inside the
+    # kernel and the elementwise z-combine of the XLA path (see the kernel
+    # parity test above), squared through the loss.
+    np.testing.assert_allclose(out_fused, out_ref, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(grad_fused), np.asarray(grad_ref), atol=2e-4, rtol=2e-4
+    )

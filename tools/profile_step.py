@@ -44,7 +44,20 @@ def bench(name, fn, *args, iters=10, flops=None):
 
 
 def grad_of(loss_fn):
-    return jax.value_and_grad(loss_fn)
+    """value_and_grad with the gradients kept LIVE via a scalar reduction.
+
+    Returning only the value (or fetching big gradient arrays) both mislead:
+    unused grads are dead-code-eliminated by XLA (the bwd never runs), while
+    fetching full gradients pulls 100+ MB over the axon tunnel (~250 ms of
+    pure transfer, discovered round 3). Reduce grads to one scalar inside jit.
+    """
+
+    def f(*args):
+        v, g = jax.value_and_grad(loss_fn)(*args)
+        gs = sum(jnp.sum(leaf.astype(jnp.float32) ** 2) for leaf in jax.tree_util.tree_leaves(g))
+        return v + 0.0 * gs
+
+    return lambda *a: (f(*a),)
 
 
 def main():
