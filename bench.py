@@ -43,12 +43,50 @@ def main():
         profile_dir = sys.argv[sys.argv.index("--profile") + 1]
 
     cfg = Config()
+    if "--lmax" in sys.argv:
+        # the reference's headline training recipe (BASELINE configs[3]) is
+        # lmax=4; bench it with `python bench.py 64 --lmax 4`
+        import dataclasses
+
+        lmax = int(sys.argv[sys.argv.index("--lmax") + 1])
+        cfg = dataclasses.replace(
+            cfg,
+            embedding=dataclasses.replace(cfg.embedding, lmax=lmax),
+            model=dataclasses.replace(
+                cfg.model,
+                featurizer_feat_dim=(lmax + 1) ** 2 * cfg.embedding.sphere_channels,
+            ),
+        )
+    if "--enc-remat" in sys.argv:
+        import dataclasses
+
+        er = sys.argv[sys.argv.index("--enc-remat") + 1]
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, encoder=dataclasses.replace(cfg.model.encoder, remat=er)
+            ),
+        )
+    if "--remat" in sys.argv:
+        # A/B the embedding remat policy: off|full|dots|s2|s2x
+        import dataclasses
+
+        pol = sys.argv[sys.argv.index("--remat") + 1]
+        emb = (
+            dataclasses.replace(cfg.embedding, remat=False)
+            if pol == "off"
+            else dataclasses.replace(cfg.embedding, remat_policy=pol)
+        )
+        cfg = dataclasses.replace(cfg, embedding=emb)
     set_compute_dtype(cfg.train.compute_dtype)
-    # batch sizes beyond 32 run as accumulated microbatches of 32: the dense
-    # encoder's [B, N, N, De] pair tensors put the monolithic batch-64 step
-    # ~2 GB over this chip's HBM; gradient accumulation yields the identical
-    # optimizer update (equal-size microbatch mean) at bounded memory.
-    micro = min(batch_size, 32)
+    # batches run MONOLITHICALLY by default: the round-2 OOM rationale (the
+    # dense encoder's [B, N, N, De] pair tensors) is stale since the
+    # neighbor-form encoders + fused kernels landed — batch 64 fits on the
+    # 16 GB chip. `--accum 32` restores microbatch accumulation (identical
+    # optimizer update, bounded memory) for larger batches.
+    micro = batch_size
+    if "--accum" in sys.argv:
+        micro = min(batch_size, int(sys.argv[sys.argv.index("--accum") + 1]))
     n_micro = batch_size // micro
     assert batch_size % micro == 0
     batch = synthetic_batch(
@@ -97,24 +135,55 @@ def main():
     lowered = train_step.lower(params, opt_state, batch)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
-    step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
-    # XLA's cost analysis cannot see inside custom calls; add the analytic
-    # FLOPs of the Pallas kernels (dominated by the fused FFN's grid
-    # transforms in the L-padded layout) so `mfu` reflects real work.
+    xla_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    # XLA's cost analysis cannot see inside custom calls; add per-kernel
+    # analytic FLOPs for the Pallas kernels. Two ledgers (round-3 honest-MFU
+    # rework): `useful` counts UNPADDED algorithmic work with per-kernel
+    # fwd/bwd factors; `impl` additionally counts the padding and the one-hot
+    # gather matmuls the implementation actually executes, so
+    # useful-vs-impl shows where structural overhead lives.
     e = cfg.embedding
+    lm = e.lmax
+    I_c = (lm + 1) ** 2  # true coefficient rows (49 @ lmax 6)
+    P = sum(((2 * l + 1 + 7) // 8) * 8 for l in range(lm + 1))  # L-padded rows
+    G = 2 * (lm + 1) * (2 * lm + 3)  # full-res S2 grid (14x15 @ lmax 6)
+    H = e.ffn_hidden_channels
+    C = e.sphere_channels
     n_nodes = batch_size * (cfg.shapes.num_protein_nodes + cfg.shapes.num_ligand_nodes)
-    P, G, H = 80, 210, e.ffn_hidden_channels
-    ffn_fwd = 2 * 2 * n_nodes * P * G * H + 4 * n_nodes * 49 * 16 * H
-    n_edges = batch_size * (
-        cfg.shapes.num_pp_edges + cfg.shapes.num_ll_edges
-        + cfg.shapes.num_lp_edges + cfg.shapes.num_pl_edges
-    )
-    s2_fwd = 2 * 2 * n_edges * 29 * 70 * e.attn_hidden_channels
+    n_edges = batch_size * (cfg.shapes.num_pp_edges + cfg.shapes.num_ll_edges)
     calls = 2 * e.num_layers  # passes x blocks
-    # n_nodes/n_edges already cover the full batch (microbatching splits the
-    # same total work across scan iterations)
-    pallas_flops = calls * (ffn_fwd + s2_fwd) * 3.5  # fwd + ~2.5x bwd
-    step_flops += pallas_flops
+    # fused FFN (ops/pallas/so3_ffn.py): fwd kernel + bwd kernel (bwd
+    # recomputes the forward in VMEM then runs the two transposed passes: 3x)
+    ffn_fwd_u = 2 * 2 * n_nodes * I_c * G * H + 2 * 2 * n_nodes * I_c * C * H
+    ffn_fwd_p = 2 * 2 * n_nodes * P * G * H + 2 * 2 * n_nodes * P * C * H
+    ffn_u = calls * 4 * ffn_fwd_u
+    ffn_p = calls * 4 * ffn_fwd_p
+    # s2 activation kernel on the edge chain (attention resolution, rows are
+    # already unpadded): bwd recomputes to-grid then two transposed passes
+    from singa_tpu.equivariant.so3 import num_coeffs_trunc
+
+    n_tr = num_coeffs_trunc(lm, e.mmax)
+    G_a = 2 * (lm + 1) * (2 * e.mmax + 1)
+    s2_fwd = 2 * 2 * n_edges * n_tr * G_a * e.attn_hidden_channels
+    s2_u = calls * 4 * s2_fwd
+    # CProMG fused neighbor attention (ops/pallas/neighbor_attn.py): useful =
+    # edge MLPs + scores/aggregation; impl adds the one-hot gather/scatter
+    # matmuls (the dominant term: 2 gathers fwd, recompute + 2 scatters bwd)
+    enc = cfg.model.encoder
+    B, Np = batch_size, cfg.shapes.num_protein_nodes
+    K_nb = 2 * enc.knn
+    De = enc.edge_channels
+    kd = enc.key_channels // enc.num_heads
+    vd = enc.hidden_channels // enc.num_heads
+    Hh = enc.num_heads
+    nb_mlp = 2 * B * Np * K_nb * (De * De + De * kd + De * De + De * vd)
+    nb_sc = 2 * B * Np * K_nb * Hh * (kd + vd)
+    nb_gather = 2 * B * Np * K_nb * Np * Hh * (kd + vd)
+    nb_u = enc.num_interactions * 3 * (nb_mlp + nb_sc)
+    nb_p = enc.num_interactions * (3 * (nb_mlp + nb_sc) + 5 * nb_gather)
+    useful_flops = xla_flops + ffn_u + s2_u + nb_u
+    impl_flops = xla_flops + ffn_p + s2_u + nb_p
+    step_flops = useful_flops
     params, opt_state, loss = compiled(params, opt_state, batch)
     jax.block_until_ready(loss)
     print(
@@ -137,6 +206,7 @@ def main():
     gps = batch_size * iters / dt
     step_ms = dt / iters * 1e3
     mfu = step_flops / (dt / iters) / PEAK_FLOPS if step_flops else 0.0
+    mfu_impl = impl_flops / (dt / iters) / PEAK_FLOPS if impl_flops else 0.0
     print(
         f"{iters} steps in {dt:.2f}s -> {gps:.1f} graphs/s "
         f"({step_ms:.1f} ms/step, mfu {mfu:.3f}, loss {final_loss:.3f})",
@@ -151,9 +221,12 @@ def main():
                 "unit": "graphs/s",
                 "vs_baseline": round(gps / 5000.0, 4),
                 "mfu": round(mfu, 4),
+                "mfu_impl": round(mfu_impl, 4),
                 "step_ms": round(step_ms, 2),
                 "tflops_per_step": round(step_flops / 1e12, 3),
+                "tflops_per_step_impl": round(impl_flops / 1e12, 3),
                 "batch_size": batch_size,
+                "lmax": cfg.embedding.lmax,
             }
         )
     )

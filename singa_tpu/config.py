@@ -80,6 +80,10 @@ class EncoderConfig:
     # 'neighbor': [B, N, 2k] neighbour-list attention with one-hot-matmul
     # gathers (4.6x less pair traffic than 'dense' [B, N, N] form)
     attn_form: str = "neighbor"
+    # encoder-layer scan remat: 'auto' (dense form only), 'on', 'off'.
+    # 'on' is what lets monolithic batch 64 fit on one 16 GB chip (the
+    # neighbor scan's saved residuals are ~450 MB/layer there)
+    remat: str = "auto"
     lap_dim: int = 8
     smear_stop: float = 15.0  # CProMG.py:285
     smear_stop_aa: float = 25.0  # CProMG.py:322

@@ -289,15 +289,16 @@ class Encoder(nn.Module):
         # backward of several layers, keeping multiple [B, N, N, kd] edge
         # tensors live at once (the batch-64 OOM); scan serialises them and
         # compiles the layer body once.
-        # Remat only the DENSE form: the neighbor form's pair tensors live in
-        # VMEM inside the fused kernel, so its per-layer residuals are small
-        # node tensors — remat would only re-run the Pallas forward in the
-        # scan backward (27 ms/step of the round-3 profile) to save ~30 MB.
-        body = (
-            _ScanEncoderLayer
-            if self.cfg.attn_form == "neighbor"
-            else nn.remat(_ScanEncoderLayer)
+        # Remat is config-driven (cfg.remat='auto' remats only the dense
+        # form): the neighbor form's saved per-layer residuals are ~450 MB
+        # scan stacks at batch 64 — the difference between fitting batch 64
+        # monolithically (remat on) and a ~2% faster batch-32 step (off).
+        use_remat = (
+            self.cfg.attn_form != "neighbor"
+            if self.cfg.remat == "auto"
+            else self.cfg.remat == "on"
         )
+        body = nn.remat(_ScanEncoderLayer) if use_remat else _ScanEncoderLayer
         scan = nn.scan(
             body,
             variable_axes={"params": 0},

@@ -67,20 +67,29 @@ def _row0(shape, axis=1):
 
 
 def _to_g(h, mat):
-    """[TN, P, HC] x [G, P] -> [TN, HC, G] (free dims TN*HC merge, aligned)."""
-    return jax.lax.dot_general(
-        h, mat.astype(h.dtype), (((1,), (1,)), ((), ())),
+    """[TN, P, HC] x [G, P] -> [TN, HC, G].
+
+    Explicit last-two transpose + leading merge, then ONE [TN*HC, P] x [P, G]
+    matmul: the direct dot_general with a sublane contraction over P lowers
+    to a pathologically slow Mosaic path (~200x in isolation, round-3 probe
+    tools/bench_ffn_parts.py)."""
+    TN, P, HC = h.shape
+    ht = h.transpose(0, 2, 1).reshape(TN * HC, P)
+    y = jax.lax.dot_general(
+        ht, mat.astype(h.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # [TN*HC, G]
+    return y.reshape(TN, HC, -1)
 
 
 def _from_g(a, mat):
-    """[TN, HC, G] x [G, P] -> [TN, P, HC]."""
-    out = jax.lax.dot_general(
-        a, mat.astype(a.dtype), (((2,), (0,)), ((), ())),
+    """[TN, HC, G] x [G, P] -> [TN, P, HC] (merged matmul, see _to_g)."""
+    TN, HC, G = a.shape
+    y = jax.lax.dot_general(
+        a.reshape(TN * HC, G), mat.astype(a.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [TN, HC, P]
-    return out.transpose(0, 2, 1)
+    )  # [TN*HC, P]
+    return y.reshape(TN, HC, -1).transpose(0, 2, 1)
 
 
 def _mm(a, b):
@@ -118,34 +127,47 @@ def _ffn_fwd_kernel(
     Co = w2_ref.shape[2]
 
     g0 = _mm(x[:, 0, :], wg_ref[:].astype(dt)) + bg_ref[:]  # [TN, H] f32
-    y_parts = [jnp.zeros((TN, blk, Co), jnp.float32) for (_, _, _, blk) in blocks]
+    # lin1 ONCE at full width (K=C per degree is already MXU-starved; running
+    # it 7 x n_chunks times quadrupled the small-matmul count), then the grid
+    # chain in HC chunks, collecting mid so lin2 runs once with K=H
+    h_full = jnp.concatenate(
+        [
+            _blk_mm(x[:, ds : ds + blk, :], w1_ref[l].astype(dt))
+            for l, (_, _, ds, blk) in enumerate(blocks)
+        ],
+        axis=1,
+    )  # [TN, P, H] f32
+    h_full = jnp.where(_row0(h_full.shape), h_full + b1_ref[:][None, None, :], h_full)
+    h_full = h_full.astype(dt)
+    gate = _silu(g0).astype(dt)  # [TN, H]
+    mid_parts = []
     for hc in range(n_chunks):
         sl = slice(hc * HC, (hc + 1) * HC)
-        h = jnp.concatenate(
-            [
-                _blk_mm(x[:, ds : ds + blk, :], w1_ref[l, :, sl].astype(dt))
-                for l, (_, _, ds, blk) in enumerate(blocks)
-            ],
-            axis=1,
-        )  # [TN, P, HC] f32
-        h = jnp.where(_row0(h.shape), h + b1_ref[sl][None, None, :], h)
-        grid = _to_g(h.astype(dt), tg_ref[:])  # [TN, HC, G] f32
+        grid = _to_g(h_full[:, :, sl], tg_ref[:])  # [TN, HC, G] f32
+        # f32 sigmoid: Mosaic mis-lowers bf16 `logistic` (f32 scalar
+        # broadcast into a bf16 vector fails MLIR verification)
         act = _silu(grid).astype(dt)
         mid = _from_g(act, fg_ref[:])  # [TN, P, HC] f32
-        gate = _silu(g0[:, sl])[:, None, :]
-        mid = jnp.where(_row0(mid.shape), gate, mid).astype(dt)
-        for l, (_, _, ds, blk) in enumerate(blocks):
-            y_parts[l] = y_parts[l] + _blk_mm(
-                mid[:, ds : ds + blk, :], w2_ref[l, sl, :].astype(dt)
-            )
-    y = jnp.concatenate(y_parts, axis=1)
+        # slice THEN expand_dims: `gate[:, None, sl]` falls off jnp's
+        # basic-indexing fast path and lowers to a gather Mosaic rejects
+        g_sl = jnp.expand_dims(gate[:, sl], 1)
+        mid = jnp.where(_row0(mid.shape), g_sl, mid).astype(dt)
+        mid_parts.append(mid)
+    mid_full = jnp.concatenate(mid_parts, axis=2)  # [TN, P, H]
+    y = jnp.concatenate(
+        [
+            _blk_mm(mid_full[:, ds : ds + blk, :], w2_ref[l].astype(dt))
+            for l, (_, _, ds, blk) in enumerate(blocks)
+        ],
+        axis=1,
+    )
     y = jnp.where(_row0(y.shape), y + b2_ref[:][None, None, :], y)
     y_ref[:] = y.astype(y_ref.dtype)
 
 
 def _ffn_bwd_kernel(
     lmax, n_chunks, x_ref, dy_ref, w1_ref, b1_ref, wg_ref, bg_ref, w2_ref,
-    tg_ref, fg_ref,
+    w1t_ref, w2t_ref, wgt_ref, tg_ref, fg_ref,
     dx_ref, dw1_ref, db1_ref, dwg_ref, dbg_ref, dw2_ref, db2_ref,
 ):
     @pl.when(pl.program_id(0) == 0)
@@ -169,61 +191,71 @@ def _ffn_bwd_kernel(
     x0 = x[:, 0, :]
     g0 = _mm(x0, wg_ref[:].astype(dt)) + bg_ref[:]  # [TN, H] f32
     db2_ref[:] += jnp.sum(dy[:, 0, :], axis=0)
-    dx_parts = [jnp.zeros((TN, blk, C), jnp.float32) for (_, _, _, blk) in blocks]
-    dg0_all = []
+    # ---- recompute lin1 ONCE at full width (see fwd kernel) ----
+    h_full = jnp.concatenate(
+        [
+            _blk_mm(x[:, ds : ds + blk, :], w1_ref[l].astype(dt))
+            for l, (_, _, ds, blk) in enumerate(blocks)
+        ],
+        axis=1,
+    )
+    h_full = jnp.where(_row0(h_full.shape), h_full + b1_ref[:][None, None, :], h_full)
+    h_full = h_full.astype(dt)
+    # ---- dmid needs only dy (transposed weights are trace-time operands) ----
+    dmid_full = jnp.concatenate(
+        [
+            _blk_mm(dy[:, ds : ds + blk, :].astype(dt), w2t_ref[l].astype(dt))
+            for l, (_, _, ds, blk) in enumerate(blocks)
+        ],
+        axis=1,
+    )  # [TN, P, H] f32
+    dg0 = _silu_grad(g0) * dmid_full[:, 0, :]
+    dmid_full = jnp.where(_row0(dmid_full.shape), 0.0, dmid_full).astype(dt)
+    gate = _silu(g0).astype(dt)
+    # ---- grid chain per chunk: 4 grid matmuls, grid stays chunk-local ----
+    mid_parts = []
+    dh_parts = []
     for hc in range(n_chunks):
         sl = slice(hc * HC, (hc + 1) * HC)
-        # ---- recompute forward chunk ----
-        h = jnp.concatenate(
-            [
-                _blk_mm(x[:, ds : ds + blk, :], w1_ref[l, :, sl].astype(dt))
-                for l, (_, _, ds, blk) in enumerate(blocks)
-            ],
-            axis=1,
-        )
-        h = jnp.where(_row0(h.shape), h + b1_ref[sl][None, None, :], h)
-        grid = _to_g(h.astype(dt), tg_ref[:])
-        act = _silu(grid).astype(dt)
+        grid = _to_g(h_full[:, :, sl], tg_ref[:])  # [TN, HC, G] f32
+        act = _silu(grid).astype(dt)  # f32 sigmoid: see fwd kernel note
         mid = _from_g(act, fg_ref[:])
-        gate = _silu(g0[:, sl])[:, None, :]
-        mid = jnp.where(_row0(mid.shape), gate, mid).astype(dt)
-        # ---- backward through SO3Linear2 ----
-        dmid_parts = []
-        for l, (_, _, ds, blk) in enumerate(blocks):
-            dyl = dy[:, ds : ds + blk, :].astype(dt)
-            dw2_ref[l, sl, :] += _blk_outer(mid[:, ds : ds + blk, :], dyl)
-            dmid_parts.append(_blk_mm(dyl, w2_ref[l, sl, :].astype(dt).T))
-        dmid = jnp.concatenate(dmid_parts, axis=1)  # [TN, P, HC] f32
-        # ---- separable recombine: row 0 belongs to the gate ----
-        dg0_all.append(_silu_grad(g0[:, sl]) * dmid[:, 0, :])
-        dmid = jnp.where(_row0(dmid.shape), 0.0, dmid).astype(dt)
-        # ---- backward through the S2 activation ----
-        dact = _to_g(dmid, fg_ref[:])  # [TN, HC, G]
+        g_sl = jnp.expand_dims(gate[:, sl], 1)  # see fwd kernel note
+        mid_parts.append(
+            jnp.where(_row0(mid.shape), g_sl, mid).astype(dt)
+        )
+        dact = _to_g(dmid_full[:, :, sl], fg_ref[:])  # [TN, HC, G]
         dgrid = (_silu_grad(grid) * dact).astype(dt)
-        dh = _from_g(dgrid, tg_ref[:])  # [TN, P, HC] f32
-        db1_ref[sl] += jnp.sum(dh[:, 0, :], axis=0)
-        # ---- backward through SO3Linear1 ----
-        dhc = dh.astype(dt)
-        for l, (_, _, ds, blk) in enumerate(blocks):
-            dhl = dhc[:, ds : ds + blk, :]
-            dw1_ref[l, :, sl] += _blk_outer(x[:, ds : ds + blk, :], dhl)
-            dx_parts[l] = dx_parts[l] + _blk_mm(dhl, w1_ref[l, :, sl].astype(dt).T)
+        dh_parts.append(_from_g(dgrid, tg_ref[:]))  # [TN, P, HC] f32
+    mid_full = jnp.concatenate(mid_parts, axis=2)  # [TN, P, H]
+    dh_full = jnp.concatenate(dh_parts, axis=2)  # [TN, P, H] f32
+    db1_ref[:] += jnp.sum(dh_full[:, 0, :], axis=0)
+    # ---- weight grads + dx at full width (K = TN*blk / H) ----
+    dhc = dh_full.astype(dt)
+    dx_parts = []
+    for l, (_, _, ds, blk) in enumerate(blocks):
+        dyl = dy[:, ds : ds + blk, :].astype(dt)
+        dw2_ref[l] += _blk_outer(mid_full[:, ds : ds + blk, :], dyl)
+        dhl = dhc[:, ds : ds + blk, :]
+        dw1_ref[l] += _blk_outer(x[:, ds : ds + blk, :], dhl)
+        dx_parts.append(_blk_mm(dhl, w1t_ref[l].astype(dt)))
     # ---- gate path ----
-    dg0 = jnp.concatenate(dg0_all, axis=1).astype(dt)  # [TN, H]
+    dg0 = dg0.astype(dt)
     dwg_ref[:] += jax.lax.dot_general(
         x0, dg0, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dbg_ref[:] += jnp.sum(dg0.astype(jnp.float32), axis=0)
-    dx0 = _mm(dg0, wg_ref[:].astype(dt).T)  # [TN, C]
+    dx0 = _mm(dg0, wgt_ref[:].astype(dt))  # [TN, C]
     dx = jnp.concatenate(dx_parts, axis=1)
     dx = jnp.where(_row0(dx.shape), dx + dx0[:, None, :], dx)
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _tiles(n: int, bwd: bool = False) -> int:
-    # bwd holds ~2x the [TN, HC, G] buffers (grid + dgrid chains); TN=32
-    # overflowed the 16 MB scoped VMEM by ~3 MB
-    cap = 16 if bwd else 32
+    # sized against the 100 MB scoped-VMEM limit (CompilerParams below; the
+    # 16 MB default forced TN=32/16 in round 2, leaving every matmul
+    # instance M-starved on the MXU — raising the limit was worth ~2x)
+    cap = 64 if bwd else 128
     return cap if n >= cap else max(8, n)
 
 
@@ -289,6 +321,7 @@ def so3_ffn_fused(x, w1, b1, wg, bg, w2, b2, tgp, fgp, lmax, interpret=False):
         in_specs=[xspec] + [full(a) for a in (w1, b1, wg, bg, w2, b2, tgp, fgp)],
         out_specs=pl.BlockSpec((tn, p, w2.shape[2]), lambda m: (m, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, w1, b1, wg, bg, w2, b2, tgp, fgp)
     return _unpad_coeffs(y[:n0], lmax)
 
@@ -320,14 +353,19 @@ def _bwd(lmax, interpret, res, dy):
         acc(w1.shape), acc(b1.shape), acc(wg.shape), acc(bg.shape),
         acc(w2.shape), acc((w2.shape[2],)),
     ]
+    w1t = jnp.swapaxes(w1, 1, 2)
+    w2t = jnp.swapaxes(w2, 1, 2)
+    wgt = wg.T
     dx, dw1, db1, dwg, dbg, dw2, db2 = pl.pallas_call(
         functools.partial(_ffn_bwd_kernel, lmax, n_chunks),
         out_shape=tuple(o[0] for o in outs),
         grid=grid_dims,
-        in_specs=[xspec, xspec] + [full(a) for a in (w1, b1, wg, bg, w2, tgp, fgp)],
+        in_specs=[xspec, xspec]
+        + [full(a) for a in (w1, b1, wg, bg, w2, w1t, w2t, wgt, tgp, fgp)],
         out_specs=tuple(o[1] for o in outs),
         interpret=interpret,
-    )(xp, dyp, w1, b1, wg, bg, w2, tgp, fgp)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(xp, dyp, w1, b1, wg, bg, w2, w1t, w2t, wgt, tgp, fgp)
     cast = lambda g, pm: g.astype(pm.dtype)
     return (
         _unpad_coeffs(dx[:n0], lmax),

@@ -319,8 +319,20 @@ def main(argv=None):
         train_data = SyntheticDataset(bs, cfg.shapes, cfg.model.decoder.tgt_len, seed=0)
         val_data = SyntheticDataset(bs, cfg.shapes, cfg.model.decoder.tgt_len, seed=100, num_distinct=2)
     else:
+        from singa_tpu.data.pipeline import Prefetcher
+
         train_data = NpzDataset(os.path.join(args.data, "train"), bs)
-        val_data = NpzDataset(os.path.join(args.data, "val"), bs, shuffle=False)
+        val_dir = os.path.join(args.data, "val")
+        # mini-datasets (e.g. the bundled reference complexes) carry no val
+        # split; validate on train (an explicit overfit anchor)
+        val_data = NpzDataset(
+            val_dir if os.path.isdir(val_dir) else os.path.join(args.data, "train"),
+            bs,
+            shuffle=False,
+        )
+        # background host-side loading/stacking overlapped with device steps
+        # (the reference's DataLoader(num_workers) role, train.py:13)
+        train_data = Prefetcher(train_data, depth=2, device_put_fn=jax.device_put)
 
     trainer = Trainer(cfg, logdir=args.logdir)
     trainer.init_state(next(iter(train_data)))

@@ -81,9 +81,24 @@ def main():
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--split", type=str, default="train")
     ap.add_argument("--pocket-radius", type=float, default=10.0)
+    ap.add_argument(
+        "--bucket", choices=["default", "large"], default="default",
+        help="'large' = (576 protein nodes, 1280 pp edges): with the "
+        "reference's 10 A pocket radius, half the bundled real complexes "
+        "overflow the default 384-node bucket (counts 234/320/465/555)",
+    )
     args = ap.parse_args()
 
     cfg = load_config(args.config) if args.config else Config()
+    if args.bucket == "large":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            shapes=dataclasses.replace(
+                cfg.shapes, num_protein_nodes=576, num_pp_edges=1280
+            ),
+        )
 
     pairs: list[tuple[str, str, str]] = []
     if args.index:
