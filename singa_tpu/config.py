@@ -179,6 +179,11 @@ class GenerateConfig:
     length_penalty: float = 0.7
     max_length: int = 200
     prop: tuple[float, ...] = (1.0, 1.0, 1.0)
+    # SMILES grammar + valence masking during decode (generate/grammar.py) —
+    # the reference's unrealised Masking.py intent, BASELINE north star.
+    grammar_mask: bool = True
+    # admit '.' under the mask (multi-fragment outputs); off for ligands
+    allow_dot: bool = False
 
 
 @dataclass(frozen=True)

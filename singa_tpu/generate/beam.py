@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from singa_tpu.config import EOS_TOKEN, PAD_TOKEN, SOS_TOKEN
+from singa_tpu.generate import grammar as _grammar
 
 NEG = -1e9
 
@@ -29,6 +30,7 @@ class BeamState(NamedTuple):
     cur_len: jax.Array  # scalar int32
     done: jax.Array  # [B] bool
     cache: Any  # KV-cache pytree (or None)
+    gram: Any  # per-beam GrammarState ([B, K] leading) or None
 
 
 def _gather_cache(cache: Any, flat_idx: jax.Array, rows: int) -> Any:
@@ -55,6 +57,8 @@ def beam_search(
     pad_token: int = PAD_TOKEN,
     topk: int = 1,
     init_cache: Any = None,
+    grammar_mask: bool = False,
+    allow_dot: bool = True,
 ):
     """Run beam search.
 
@@ -64,6 +68,11 @@ def beam_search(
         cache may be None (full-prefix decoding) or a KV-cache pytree whose
         leading-row-``B*K`` arrays are gathered on beam reorder.
       topk: hypotheses returned per batch element.
+      grammar_mask: apply the SMILES grammar + valence mask
+        (generate/grammar.py) to each step's log-probs, so only chemically
+        admissible tokens are expanded (the reference's unrealised
+        Masking.py intent, BASELINE north star).
+      allow_dot: admit '.' (multi-fragment output) under the grammar mask.
 
     Returns ``(tokens [B, topk, T], scores [B, topk])``.
     """
@@ -80,6 +89,7 @@ def beam_search(
         cur_len=jnp.asarray(1, jnp.int32),
         done=jnp.zeros((B,), bool),
         cache=init_cache,
+        gram=_grammar.init_state((B, K)) if grammar_mask else None,
     )
 
     def cond(state: BeamState):
@@ -91,6 +101,9 @@ def beam_search(
         )
         V = logits.shape[-1]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if grammar_mask:
+            ok = _grammar.allowed_tokens(state.gram, allow_dot=allow_dot)
+            logp = jnp.where(ok.reshape(B * K, V), logp, NEG)
         cand = state.scores.reshape(B * K, 1) + logp  # [BK, V]
         cand = cand.reshape(B, K * V)
         top_scores, top_idx = jax.lax.top_k(cand, 2 * K)  # [B, 2K]
@@ -140,6 +153,23 @@ def beam_search(
         flat_idx = (keep_beam + base).reshape(-1)
         cache = _gather_cache(cache, flat_idx, B * K)
 
+        # grammar state: follow the selected beams, then consume the token
+        gram = state.gram
+        if grammar_mask:
+            def _g(x):  # leaves are [B, K] or [B, K, D]
+                idx = keep_beam.reshape(B, K, *([1] * (x.ndim - 2)))
+                return jnp.take_along_axis(x, idx, axis=1)
+
+            gram = jax.tree_util.tree_map(_g, state.gram)
+            stepped = _grammar.update(gram, live_tok)
+            keep_old = state.done[:, None]
+
+            def _sel(new, old):
+                m = keep_old.reshape(B, 1, *([1] * (new.ndim - 2)))
+                return jnp.where(m, old, new)
+
+            gram = jax.tree_util.tree_map(_sel, stepped, gram)
+
         # ---- done condition (BeamHypotheses.is_done, BeamSearch.py:29-35) ----
         heap_full = fin_scores > NEG / 2
         worst_kept = jnp.min(jnp.where(heap_full, fin_scores, jnp.inf), axis=1)
@@ -154,6 +184,7 @@ def beam_search(
             cur_len=state.cur_len + 1,
             done=state.done | newly_done,
             cache=cache,
+            gram=gram,
         )
 
     state = jax.lax.while_loop(cond, body, state)

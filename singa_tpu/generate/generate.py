@@ -53,6 +53,8 @@ def generate_for_pocket(
             length_penalty=cfg.generate.length_penalty,
             topk=cfg.generate.topk,
             init_cache=cache,
+            grammar_mask=cfg.generate.grammar_mask,
+            allow_dot=cfg.generate.allow_dot,
         )
     )(init_cache)
     tokens = np.asarray(tokens)

@@ -1,0 +1,283 @@
+"""SMILES grammar + valence masking for on-device decoding.
+
+The reference intends chemically-masked decoding (model/Masking.py:19 holds
+the masking hook; BASELINE.json's north star names "masked top-k and valence
+masking" during beam decode) but never wires it into BeamSearch.py. Here it
+is first-class: a per-step boolean mask over the 116-token vocabulary,
+computed incrementally from a compact per-beam grammar state inside
+``lax.while_loop`` (static shapes, table lookups only — no host round trip).
+
+Design rule: the mask must be *permissive* — it may admit some invalid
+SMILES (exact validation stays host-side in chem/smiles_parser.py) but must
+never exclude a valid continuation. Two deliberate approximations, both on
+the permissive side:
+
+- branch valence: on ``(`` we push ``cur_val - 1`` (a branch consumes at
+  least one bond from its attachment atom; if its first bond is ``=``/``#``
+  the popped value over-estimates remaining valence);
+- ring closures debit only the closing atom (the opening atom's share was
+  already debited when the digit opened the ring), and aromatic bonds are
+  counted at order 1.
+
+State per beam (all int32 for TPU friendliness):
+  depth     paren nesting depth
+  rings     9-bit mask of open ring-bond digits
+  pending   bond order demanded by a just-seen bond token (0 = default single)
+  cur_val   remaining valence of the current attachment atom (NONE if none)
+  stack     [MAX_DEPTH] saved cur_val values of enclosing attachment atoms
+  last      class of the previous token (SOS/ATOM/BOND/OPEN/CLOSE/DIGIT/DOT)
+"""
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singa_tpu.config import EOS_TOKEN, PAD_TOKEN, SMI_VOCAB, SOS_TOKEN
+
+MAX_DEPTH = 24
+NONE_VAL = -99  # cur_val sentinel: no attachment atom (start / after '.')
+
+# token classes
+ATOM, BOND, OPEN, CLOSE, DIGIT, DOT, EOS, SOS, PAD = range(9)
+
+# Permissive max valences. Hypervalent forms that appear in real datasets
+# (N(=O)=O nitro, S(=O)(=O) sulfonyl, hypervalent I) are admitted; the exact
+# host-side parser rejects what these allow.
+_BASE_VALENCE = {
+    "B": 3, "C": 4, "N": 5, "O": 2, "F": 1, "P": 5, "S": 6,
+    "Cl": 1, "Br": 1, "I": 5, "H": 1, "Si": 4, "Se": 6, "Sn": 4,
+    "Sb": 5, "As": 5, "Al": 3,
+}
+_METAL_VALENCE = 8  # Fe/Zn/Na/K/... — effectively unconstrained
+
+_BRACKET_RE = re.compile(
+    r"^\[(?P<iso>\d+)?(?P<el>[A-Z][a-z]?|[a-z]{1,2})(?P<chi>@{1,2})?"
+    r"(?P<h>H\d*)?(?P<chg>[+-]+\d*|[+-]\d*)?\]$"
+)
+
+
+def _atom_capacity(tok: str) -> int:
+    """Max bonds this atom token can still form, from its SMILES spelling."""
+    if not tok.startswith("["):
+        el = tok if tok in _BASE_VALENCE else tok.capitalize()  # c -> C
+        return _BASE_VALENCE.get(el, _METAL_VALENCE)
+    m = _BRACKET_RE.match(tok)
+    if m is None:  # exotic spellings: be permissive
+        return _METAL_VALENCE
+    el = m.group("el")
+    el_key = el.capitalize() if el.islower() else el
+    base = _BASE_VALENCE.get(el_key, _METAL_VALENCE)
+    h = m.group("h")
+    nh = 0 if h is None else (1 if h == "H" else int(h[1:]))
+    chg = m.group("chg") or ""
+    charge = 0
+    if chg:
+        sign = 1 if chg[0] == "+" else -1
+        digits = chg.lstrip("+-")
+        charge = sign * (int(digits) if digits else len(chg))
+    if el_key in ("B", "Al"):
+        charge = -charge  # borate-type anions GAIN a bond ([B-] binds 4)
+    # cation gains a bonding site (N+ -> 4), anion loses one (O- -> 1)
+    cap = base + charge - nh
+    return max(cap, 1)  # never fully forbid an atom the vocab offers
+
+
+def _build_tables():
+    V = len(SMI_VOCAB)
+    cls = np.full(V, ATOM, np.int32)
+    cap = np.zeros(V, np.int32)
+    order = np.zeros(V, np.int32)
+    digit = np.zeros(V, np.int32)
+    for i, tok in enumerate(SMI_VOCAB):
+        if i == SOS_TOKEN:
+            cls[i] = SOS
+        elif i == EOS_TOKEN:
+            cls[i] = EOS
+        elif i == PAD_TOKEN:
+            cls[i] = PAD
+        elif tok == "(":
+            cls[i] = OPEN
+        elif tok == ")":
+            cls[i] = CLOSE
+        elif tok == ".":
+            cls[i] = DOT
+        elif tok in ("-", "/", "\\"):
+            cls[i] = BOND
+            order[i] = 1
+        elif tok == "=":
+            cls[i] = BOND
+            order[i] = 2
+        elif tok == "#":
+            cls[i] = BOND
+            order[i] = 3
+        elif tok.isdigit():
+            cls[i] = DIGIT
+            digit[i] = int(tok)
+        else:
+            cls[i] = ATOM
+            cap[i] = _atom_capacity(tok)
+    return cls, cap, order, digit
+
+
+_CLS_NP, _CAP_NP, _ORD_NP, _DIG_NP = _build_tables()
+TOKEN_CLASS = jnp.asarray(_CLS_NP)
+ATOM_CAPACITY = jnp.asarray(_CAP_NP)
+BOND_ORDER = jnp.asarray(_ORD_NP)
+RING_DIGIT = jnp.asarray(_DIG_NP)
+
+
+class GrammarState(NamedTuple):
+    depth: jax.Array  # [...] int32
+    rings: jax.Array  # [...] int32 bitmask (bit d-1 = ring digit d open)
+    pending: jax.Array  # [...] int32, 0 = no explicit bond pending
+    cur_val: jax.Array  # [...] int32, NONE_VAL = no attachment atom
+    stack: jax.Array  # [..., MAX_DEPTH] int32
+    last: jax.Array  # [...] int32 token class
+
+
+def init_state(shape: tuple[int, ...]) -> GrammarState:
+    return GrammarState(
+        depth=jnp.zeros(shape, jnp.int32),
+        rings=jnp.zeros(shape, jnp.int32),
+        pending=jnp.zeros(shape, jnp.int32),
+        cur_val=jnp.full(shape, NONE_VAL, jnp.int32),
+        stack=jnp.zeros(shape + (MAX_DEPTH,), jnp.int32),
+        last=jnp.full(shape, SOS, jnp.int32),
+    )
+
+
+def allowed_tokens(state: GrammarState, allow_dot: bool = True) -> jax.Array:
+    """Boolean mask [..., V] of grammatically admissible next tokens."""
+    last = state.last[..., None]  # broadcast against the vocab axis
+    depth = state.depth[..., None]
+    rings = state.rings[..., None]
+    cur = state.cur_val[..., None]
+    pend = state.pending[..., None]
+    eff = jnp.maximum(pend, 1)  # bond order the next atom/digit would consume
+
+    cls = TOKEN_CLASS  # [V]
+    after_atomish = (last == ATOM) | (last == DIGIT) | (last == CLOSE)
+    has_attach = cur > NONE_VAL // 2
+
+    # ATOM: syntactically everywhere except after EOS; valence-checked when
+    # bonding to an existing attachment atom.
+    ok_atom = (cls == ATOM) & (
+        ~has_attach | ((cur >= eff) & (ATOM_CAPACITY >= eff))
+    ) & (last != EOS) & (last != PAD)
+
+    # BOND: after an atom / ring digit / branch close / branch open (C(=O)),
+    # never stacked, and the attachment atom must be able to pay for it.
+    ok_bond = (
+        (cls == BOND)
+        & (after_atomish | (last == OPEN))
+        & (pend == 0)
+        & (cur >= BOND_ORDER)
+    )
+
+    # OPEN: branch off an atom with spare valence.
+    ok_open = (
+        (cls == OPEN)
+        & after_atomish
+        & (cur >= 1)
+        & (depth < MAX_DEPTH - 1)
+        & (pend == 0)
+    )
+
+    # CLOSE: something to close, and not right after '(' / bond / '.'.
+    ok_close = (cls == CLOSE) & (depth > 0) & after_atomish & (pend == 0)
+
+    # DIGIT: ring open/close on the current atom.
+    bit = jnp.where(cls == DIGIT, 1 << jnp.maximum(RING_DIGIT - 1, 0), 0)
+    is_open = (rings & bit) > 0
+    ok_digit = (cls == DIGIT) & ((last == ATOM) | (last == DIGIT) | (last == BOND)) & (
+        cur >= eff
+    )
+    # closing a ring right after a bond token is fine (C=1...); opening after
+    # a bond token is also legal SMILES (the order applies to the closure).
+    del is_open  # open/close share the same admissibility rule
+
+    ok_dot = (
+        (cls == DOT) & after_atomish & (depth == 0) & (pend == 0)
+        & jnp.asarray(allow_dot)
+    )
+
+    ok_eos = (
+        (cls == EOS) & after_atomish & (depth == 0) & (rings == 0) & (pend == 0)
+    )
+
+    allowed = ok_atom | ok_bond | ok_open | ok_close | ok_digit | ok_dot | ok_eos
+    # Safety valve: if a beam paints itself into a corner (possible only via
+    # the permissive approximations), fall back to EOS rather than NEG-inf
+    # everything, which would poison the whole beam's log-probs.
+    none_ok = ~jnp.any(allowed, axis=-1, keepdims=True)
+    return allowed | (none_ok & (cls == EOS))
+
+
+def update(state: GrammarState, tok: jax.Array) -> GrammarState:
+    """Advance the grammar state by one sampled token (shape = state shape)."""
+    cls = TOKEN_CLASS[tok]
+    cap = ATOM_CAPACITY[tok]
+    order = BOND_ORDER[tok]
+    dig = RING_DIGIT[tok]
+    eff = jnp.maximum(state.pending, 1)
+
+    is_atom = cls == ATOM
+    is_bond = cls == BOND
+    is_open = cls == OPEN
+    is_close = cls == CLOSE
+    is_digit = cls == DIGIT
+    is_dot = cls == DOT
+    has_attach = state.cur_val > NONE_VAL // 2
+
+    # ATOM: debit the previous attachment atom, become the new one.
+    atom_cur = jnp.where(has_attach, cap - eff, cap)
+    # DIGIT: debit the current atom by the (pending) closure order.
+    digit_cur = state.cur_val - eff
+
+    new_depth = state.depth + is_open.astype(jnp.int32) - is_close.astype(jnp.int32)
+    bit = jnp.where(is_digit, 1 << jnp.maximum(dig - 1, 0), 0)
+    new_rings = state.rings ^ bit
+
+    push_idx = jnp.clip(state.depth, 0, MAX_DEPTH - 1)
+    pop_idx = jnp.clip(state.depth - 1, 0, MAX_DEPTH - 1)
+    # open and close are mutually exclusive: a pop always reads the pre-step
+    # stack, and a push writes cur_val-1 (the branch consumes >=1 bond from
+    # its attachment atom — permissive upper bound on post-branch valence).
+    pushed = jnp.take_along_axis(state.stack, pop_idx[..., None], axis=-1)[..., 0]
+    new_stack = jnp.where(
+        is_open[..., None],
+        _scatter_set(state.stack, push_idx, jnp.maximum(state.cur_val - 1, 0)),
+        state.stack,
+    )
+
+    new_cur = jnp.where(is_atom, atom_cur, state.cur_val)
+    new_cur = jnp.where(is_digit, digit_cur, new_cur)
+    new_cur = jnp.where(is_close, pushed, new_cur)
+    new_cur = jnp.where(is_dot, NONE_VAL, new_cur)
+
+    new_pending = jnp.where(is_bond, order, 0)
+
+    return GrammarState(
+        depth=new_depth,
+        rings=new_rings,
+        pending=new_pending,
+        cur_val=new_cur,
+        stack=new_stack,
+        last=cls,
+    )
+
+
+def _scatter_set(stack: jax.Array, idx: jax.Array, val: jax.Array) -> jax.Array:
+    """stack[..., idx] = val with batched idx/val (one-hot write)."""
+    onehot = jax.nn.one_hot(idx, stack.shape[-1], dtype=stack.dtype)
+    return stack * (1 - onehot) + onehot * val[..., None]
+
+
+def mask_logits(logp: jax.Array, state: GrammarState, neg: float = -1e9,
+                allow_dot: bool = True) -> jax.Array:
+    """Apply the grammar mask to log-probs (shape [..., V])."""
+    return jnp.where(allowed_tokens(state, allow_dot=allow_dot), logp, neg)

@@ -54,12 +54,18 @@ def sample_sequences(
     key: jax.Array,
     max_length: int,
     temperature: float = 1.0,
+    grammar_mask: bool = False,
+    allow_dot: bool = False,
 ):
     """KV-cached autoregressive categorical sampling.
 
     Returns (tokens [B, T], logp [B, T]); positions after the sampled EOS are
-    PAD with zero log-prob contribution.
+    PAD with zero log-prob contribution. With ``grammar_mask`` the SMILES
+    grammar/valence mask (generate/grammar.py) zeroes inadmissible tokens
+    before sampling — the reference's unrealised Masking.py intent.
     """
+    from singa_tpu.generate import grammar as _grammar
+
     B = enc.shape[0]
     T = max_length
 
@@ -69,8 +75,10 @@ def sample_sequences(
     cache0 = variables["cache"]
     tokens0 = jnp.full((B, T), PAD_TOKEN, jnp.int32).at[:, 0].set(SOS_TOKEN)
 
+    gram0 = _grammar.init_state((B,)) if grammar_mask else None
+
     def step(carry, t):
-        tokens, finished, key, cache, prev = carry
+        tokens, finished, key, cache, prev, gram = carry
         logits, vars_ = model.apply(
             {**g_params, "cache": cache},
             prev,
@@ -82,18 +90,31 @@ def sample_sequences(
         )  # [B, V]
         cache = vars_["cache"]
         key, sub = jax.random.split(key)
-        nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
-        logp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logits32 = logits.astype(jnp.float32)
+        if grammar_mask:
+            ok = _grammar.allowed_tokens(gram, allow_dot=allow_dot)
+            logits32 = jnp.where(ok, logits32, -1e9)
+        nxt = jax.random.categorical(sub, logits32 / temperature, axis=-1)
+        logp_all = jax.nn.log_softmax(logits32, axis=-1)
         logp = jnp.take_along_axis(logp_all, nxt[:, None], axis=-1)[:, 0]
         nxt = jnp.where(finished, PAD_TOKEN, nxt.astype(jnp.int32))
         logp = jnp.where(finished, 0.0, logp)
+        if grammar_mask:
+            stepped = _grammar.update(gram, nxt)
+            gram = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    finished.reshape((B,) + (1,) * (new.ndim - 1)), old, new
+                ),
+                stepped,
+                gram,
+            )
         tokens = tokens.at[:, t].set(nxt)
         finished = finished | (nxt == EOS_TOKEN)
-        return (tokens, finished, key, cache, nxt[:, None]), logp
+        return (tokens, finished, key, cache, nxt[:, None], gram), logp
 
-    (tokens, _, _, _, _), logps = jax.lax.scan(
+    (tokens, _, _, _, _, _), logps = jax.lax.scan(
         step,
-        (tokens0, jnp.zeros((B,), bool), key, cache0, tokens0[:, :1]),
+        (tokens0, jnp.zeros((B,), bool), key, cache0, tokens0[:, :1], gram0),
         jnp.arange(1, T),
     )
     logp_seq = jnp.concatenate([jnp.zeros((B, 1)), logps.T], axis=1)  # [B, T]

@@ -1,0 +1,191 @@
+"""Grammar/valence decoding mask (generate/grammar.py).
+
+Key property: the mask is PERMISSIVE — every token of every valid SMILES in
+the 154-drug corpus must be admitted at its position (including the closing
+EOS), while obvious garbage continuations are pruned.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from singa_tpu.chem.drug_corpus import CORPUS
+from singa_tpu.chem.tokenizer import split_smiles
+from singa_tpu.config import EOS_TOKEN, SMI_VOCAB
+from singa_tpu.generate import grammar
+
+
+def _ids(smi: str) -> list[int]:
+    return [SMI_VOCAB.index(t) for t in split_smiles(smi)]
+
+
+def _admits(smi: str) -> bool:
+    """True if the mask admits every token of `smi` followed by EOS."""
+    state = grammar.init_state(())
+    for tid in _ids(smi) + [EOS_TOKEN]:
+        ok = grammar.allowed_tokens(state)
+        if not bool(ok[tid]):
+            return False
+        state = grammar.update(state, jnp.asarray(tid))
+    return True
+
+
+def _trace(smi: str):
+    """Mask value per position, for debugging a rejection."""
+    state = grammar.init_state(())
+    out = []
+    for tok in split_smiles(smi) + ["$"]:
+        tid = SMI_VOCAB.index(tok)
+        out.append((tok, bool(grammar.allowed_tokens(state)[tid])))
+        state = grammar.update(state, jnp.asarray(tid))
+    return out
+
+
+def test_corpus_fully_admitted():
+    rejected = []
+    for _name, smi in CORPUS:
+        try:
+            ids = _ids(smi)
+        except ValueError:
+            continue  # token outside the 116-vocab — not decodable anyway
+        if not _admits(smi):
+            bad = [t for t, ok in _trace(smi) if not ok]
+            rejected.append((smi, bad))
+    assert not rejected, f"mask rejected valid corpus SMILES: {rejected[:5]}"
+
+
+@pytest.mark.parametrize(
+    "smi",
+    [
+        "C",
+        "CC(=O)Oc1ccccc1C(=O)O",  # aspirin
+        "C1CC1",
+        "C(F)(Cl)(Br)I",
+        "N#Cc1ccccc1",
+        "C=1CC=1",  # bond before ring digit
+        "CC.OC",  # dot-separated fragments
+        "[NH3+]CC(=O)[O-]",  # zwitterion
+        "c1ccc2ccccc2c1",  # fused rings
+        "C(=O)(O)C",  # branch-first
+        "F/C=C/F",  # cis/trans markers
+    ],
+)
+def test_valid_smiles_admitted(smi):
+    assert _admits(smi), _trace(smi)
+
+
+@pytest.mark.parametrize(
+    "prefix,bad_tok",
+    [
+        ("", ")"),  # close with nothing open
+        ("", "="),  # bond with no atom
+        ("", "$"),  # empty molecule
+        ("", "1"),  # ring digit with no atom
+        ("C", "^"),  # PAD mid-sequence
+        ("C(", ")"),  # empty branch
+        ("C(", "("),  # '((' nesting without an atom
+        ("C=", "="),  # stacked bonds
+        ("C=", ")"),  # close right after a bond
+        ("C=", "$"),  # EOS right after a bond
+        ("C1CC", "$"),  # EOS with an open ring
+        ("C(C", "$"),  # EOS with an open branch
+        ("CF", "C"),  # bonded F has no free valence for a second bond
+        ("CF", "("),  # ...nor a branch
+        ("CF", "1"),  # ...nor a ring bond
+        ("C=O", "C"),  # O exhausted by the double bond
+        ("C(F)(F)(F)F", "C"),  # carbon's 4 bonds used up
+        ("CC", "#"),  # triple bond exceeds remaining C valence (3 ok) — allowed!
+    ],
+)
+def test_garbage_pruned(prefix, bad_tok):
+    if (prefix, bad_tok) == ("CC", "#"):
+        pytest.skip("CC#N is valid; kept here as a reminder, not a rule")
+    state = grammar.init_state(())
+    for tid in _ids(prefix):
+        state = grammar.update(state, jnp.asarray(tid))
+    ok = grammar.allowed_tokens(state)
+    assert not bool(ok[SMI_VOCAB.index(bad_tok)]), _trace(prefix + bad_tok)
+
+
+def test_dot_can_be_disallowed():
+    state = grammar.init_state(())
+    state = grammar.update(state, jnp.asarray(SMI_VOCAB.index("C")))
+    dot = SMI_VOCAB.index(".")
+    assert bool(grammar.allowed_tokens(state, allow_dot=True)[dot])
+    assert not bool(grammar.allowed_tokens(state, allow_dot=False)[dot])
+
+
+def test_batched_shapes():
+    state = grammar.init_state((2, 3))
+    ok = grammar.allowed_tokens(state)
+    assert ok.shape == (2, 3, len(SMI_VOCAB))
+    tok = jnp.full((2, 3), SMI_VOCAB.index("C"), jnp.int32)
+    state = grammar.update(state, tok)
+    assert state.cur_val.shape == (2, 3)
+    assert state.stack.shape == (2, 3, grammar.MAX_DEPTH)
+
+
+def test_mask_never_all_false():
+    # A deliberately weird (but reachable) state still offers EOS.
+    state = grammar.init_state(())
+    for t in _ids("C(F)"):
+        state = grammar.update(state, jnp.asarray(t))
+    ok = grammar.allowed_tokens(state)
+    assert bool(jnp.any(ok))
+
+
+def test_masked_beam_search_emits_grammatical_tokens():
+    """Beam search over RANDOM logits + grammar mask: every decoded sequence
+    must replay through the grammar with every token admitted (the mask is
+    respected inside the while_loop, including beam reordering)."""
+    import jax
+
+    from singa_tpu.config import PAD_TOKEN, SOS_TOKEN
+    from singa_tpu.generate.beam import beam_search
+
+    V = len(SMI_VOCAB)
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (64, V))  # fixed pseudo-logits per step
+
+    def decode_fn(tokens, cur_len, cache):
+        # position+last-token dependent logits; no model needed
+        last = tokens[:, jnp.maximum(cur_len - 1, 0)]
+        return table[(last + cur_len) % 64] * 3.0, cache
+
+    tokens, _ = jax.jit(
+        lambda: beam_search(
+            decode_fn,
+            batch_size=2,
+            num_beams=4,
+            max_length=24,
+            topk=2,
+            grammar_mask=True,
+            allow_dot=False,
+        )
+    )()
+    tokens = np.asarray(tokens).reshape(-1, tokens.shape[-1])
+    for seq in tokens:
+        state = grammar.init_state(())
+        for tid in seq[1:]:  # position 0 is SOS
+            tid = int(tid)
+            if tid == PAD_TOKEN:
+                break
+            ok = grammar.allowed_tokens(state, allow_dot=False)
+            assert bool(ok[tid]), (seq, tid, SMI_VOCAB[tid])
+            state = grammar.update(state, jnp.asarray(tid))
+            if tid == EOS_TOKEN:
+                break
+        assert int(seq[0]) == SOS_TOKEN
+
+
+def test_capacity_table_spot_values():
+    cap = np.asarray(grammar.ATOM_CAPACITY)
+    v = {t: int(cap[i]) for i, t in enumerate(SMI_VOCAB)}
+    assert v["C"] == 4 and v["c"] == 4
+    assert v["F"] == 1 and v["Cl"] == 1 and v["Br"] == 1
+    assert v["O"] == 2
+    assert v["[O-]"] == 1
+    assert v["[N+]"] == 6  # base 5 (permissive hypervalent) + 1
+    assert v["[NH3+]"] == 3
+    assert v["[C@@H]"] == 3
+    assert v["[B-]"] == 4  # borate binds four
+    assert v["[2H]"] == 1

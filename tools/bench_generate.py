@@ -37,6 +37,9 @@ def main():
     pretrain = 0
     if "--pretrain" in sys.argv:
         pretrain = int(sys.argv[sys.argv.index("--pretrain") + 1])
+    # SMILES grammar/valence masking during decode (generate/grammar.py);
+    # --no-mask measures the unmasked baseline for the ablation.
+    mask = "--no-mask" not in sys.argv
     cfg = Config()
     set_compute_dtype(cfg.train.compute_dtype)
     batch = synthetic_batch(0, batch_size=B, shapes=cfg.shapes, tgt_len=cfg.model.decoder.tgt_len)
@@ -94,6 +97,8 @@ def main():
             length_penalty=cfg.generate.length_penalty,
             topk=1,
             init_cache=c,
+            grammar_mask=mask,
+            allow_dot=False,
         )
     )
 
@@ -147,6 +152,7 @@ def main():
                 "value": round(mps, 3),
                 "unit": "molecules/s",
                 "num_beams": beams,
+                "grammar_mask": mask,
                 "pct_valid": round(pct_valid, 2),
                 "pct_unique": round(pct_unique, 2),
             }
