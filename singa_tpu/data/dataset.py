@@ -96,6 +96,61 @@ class NpzDataset:
             yield from self.epoch()
 
 
+class BucketedNpzDataset:
+    """Mixed pocket-size shards -> homogeneous fixed-shape batches per bucket.
+
+    The graph-size scaling story (SURVEY §5.7): instead of one padding bucket
+    (ShapeConfig) that every pocket must fit, the ETL emits shards in discrete
+    buckets (384- and 576-protein-node today — tools/make_dataset.py
+    --bucket) and this loader groups files by their actual array shapes,
+    yielding batches that are homogeneous per bucket. Each distinct bucket
+    shape triggers exactly one extra XLA compile of the (shape-polymorphic)
+    train step — the jit cache keys on shapes — so steady-state cost is one
+    resident executable per bucket, not dynamic shapes. Buckets are
+    interleaved proportionally to their file counts so an epoch visits every
+    complex once, shuffled within bucket.
+
+    Replaces the role of PyG's dynamic per-batch shapes
+    (/root/reference/utils/Data.py:237-253) with a TPU-compatible design.
+    """
+
+    def __init__(self, root: str, batch_size: int, shuffle: bool = True, seed: int = 0):
+        files = sorted(
+            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".npz")
+        )
+        if not files:
+            raise FileNotFoundError(f"no .npz complexes under {root}")
+        self.buckets: dict[tuple, list[str]] = {}
+        for path in files:
+            with np.load(path) as z:
+                sig = (z["protein.x"].shape[0], z["pp.index"].shape[1])
+            self.buckets.setdefault(sig, []).append(path)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return sum(len(v) // self.batch_size for v in self.buckets.values())
+
+    def epoch(self) -> Iterator[ComplexBatch]:
+        # one shuffled queue of homogeneous batches across all buckets
+        plans: list[list[str]] = []
+        for sig in sorted(self.buckets):
+            order = np.array(self.buckets[sig], dtype=object)
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for s in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                plans.append(list(order[s : s + self.batch_size]))
+        if self.shuffle:
+            self.rng.shuffle(plans)
+        for plan in plans:
+            yield _stack([dict(np.load(p)) for p in plan])
+
+    def __iter__(self):
+        while True:
+            yield from self.epoch()
+
+
 class SyntheticDataset:
     """Endless synthetic batches (benchmarks; smoke training)."""
 

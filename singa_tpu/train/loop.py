@@ -26,7 +26,7 @@ import optax
 from singa_tpu.config import Config, load_config
 from singa_tpu.dtypes import set_compute_dtype
 from singa_tpu.data.batch import ComplexBatch
-from singa_tpu.data.dataset import NpzDataset, SyntheticDataset
+from singa_tpu.data.dataset import BucketedNpzDataset, SyntheticDataset
 from singa_tpu.models.singa import SINGA, cross_entropy_loss
 from singa_tpu.parallel.mesh import make_mesh, param_sharding, replicate, shard_batch
 from singa_tpu.train.checkpointing import CheckpointManager, save_config
@@ -321,11 +321,14 @@ def main(argv=None):
     else:
         from singa_tpu.data.pipeline import Prefetcher
 
-        train_data = NpzDataset(os.path.join(args.data, "train"), bs)
+        # bucketed: mixed pocket-size shards batch homogeneously per bucket,
+        # one jit-cached executable per bucket shape (graph-size scaling,
+        # SURVEY §5.7)
+        train_data = BucketedNpzDataset(os.path.join(args.data, "train"), bs)
         val_dir = os.path.join(args.data, "val")
         # mini-datasets (e.g. the bundled reference complexes) carry no val
         # split; validate on train (an explicit overfit anchor)
-        val_data = NpzDataset(
+        val_data = BucketedNpzDataset(
             val_dir if os.path.isdir(val_dir) else os.path.join(args.data, "train"),
             bs,
             shuffle=False,

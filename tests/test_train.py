@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from singa_tpu.config import OptimizerConfig, SchedulerConfig
+from singa_tpu.data.batch import synthetic_batch
 from singa_tpu.data.dataset import SyntheticDataset
 from singa_tpu.train.loop import Trainer
 from singa_tpu.train.optim import (
@@ -113,3 +114,43 @@ def test_microbatch_grads_match_monolithic(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-4
         )
+
+
+def test_bucketed_dataset_two_shapes_train(tmp_path):
+    """Graph-size scaling (SURVEY §5.7): mixed pocket-size shards batch
+    homogeneously per bucket, and the same Trainer steps both bucket shapes
+    (one jit-cached executable each) with finite losses."""
+    import dataclasses
+
+    from singa_tpu.data.dataset import BucketedNpzDataset, save_complex
+
+    cfg = tiny_config()
+    small = cfg.shapes
+    large = dataclasses.replace(
+        small, num_protein_nodes=32, num_pp_edges=64
+    )
+    root = tmp_path / "ds" / "train"
+    os.makedirs(root)
+    for i in range(4):
+        save_complex(
+            str(root / f"s{i}.npz"), synthetic_batch(i, 1, small, TGT_LEN)
+        )
+    for i in range(2):
+        save_complex(
+            str(root / f"l{i}.npz"), synthetic_batch(10 + i, 1, large, TGT_LEN)
+        )
+
+    ds = BucketedNpzDataset(str(root), batch_size=2, seed=0)
+    assert len(ds.buckets) == 2
+    assert len(ds) == 3  # 2 small batches + 1 large batch per epoch
+    shapes_seen = {b.protein.x.shape[1] for b in ds.epoch()}
+    assert shapes_seen == {small.num_protein_nodes, large.num_protein_nodes}
+
+    trainer = Trainer(cfg, logdir=str(tmp_path / "run"), use_mesh=False)
+    batches = list(ds.epoch())
+    trainer.init_state(batches[0])
+    for b in batches:
+        trainer.params, trainer.opt_state, loss, _ = trainer._train_step(
+            trainer.params, trainer.opt_state, b
+        )
+        assert np.isfinite(float(loss))
