@@ -17,7 +17,11 @@ from singa_tpu.chem.mol import Molecule
 from singa_tpu.chem.properties import rotatable_bonds
 
 _DIR = os.path.dirname(__file__)
-_SRC = os.path.join(_DIR, "src", "vina_score.cc")
+_SRCS = [
+    os.path.join(_DIR, "src", "vina_score.cc"),
+    os.path.join(_DIR, "src", "vina_dock.cc"),
+]
+_HDR = os.path.join(_DIR, "src", "vina_common.h")
 _SO = os.path.join(_DIR, "libvina_score.so")
 _LIB = None
 
@@ -31,9 +35,11 @@ MET_D, OTHER = 16, 17
 
 
 def build(force: bool = False) -> str:
-    if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    newest_src = max(os.path.getmtime(p) for p in _SRCS + [_HDR])
+    if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-o", _SO] + _SRCS,
             check=True,
         )
     return _SO
