@@ -132,6 +132,7 @@ class GANTrainer:
         use_graph_disc: bool = True,
         graph_loss: str = "bce",  # 'bce' | 'wgan-gp'
         gp_weight: float = 10.0,
+        grammar_mask: bool = False,
     ):
         self.config = config
         self.model = SINGA(config)
@@ -149,6 +150,10 @@ class GANTrainer:
             extra_reward_fn = chem_reward_fn()
         self.extra_reward_fn = extra_reward_fn
         self.temperature = temperature
+        # SMILES grammar/valence masking during REINFORCE sampling
+        # (generate/grammar.py); log-probs stay on-policy for the masked
+        # distribution, so the policy gradient remains unbiased
+        self.grammar_mask = grammar_mask
         self._build()
 
     def init(self, key: jax.Array, g_params, example_batch: ComplexBatch) -> GANState:
@@ -220,7 +225,8 @@ class GANTrainer:
         def d_step(state: GANState, batch: ComplexBatch, key):
             enc, pad, prop = self._encode(state.g_params, batch)
             fake, _ = sample_sequences(
-                model, state.g_params, enc, pad, prop, key, T, temp
+                model, state.g_params, enc, pad, prop, key, T, temp,
+                grammar_mask=self.grammar_mask,
             )
             real = batch.tokens.target
             (loss, acc), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -276,7 +282,8 @@ class GANTrainer:
             k1, k2 = jax.random.split(key)
             enc, pad, prop = self._encode(state.g_params, batch)
             fake_tokens, _ = sample_sequences(
-                model, state.g_params, enc, pad, prop, k1, T, temp
+                model, state.g_params, enc, pad, prop, k1, T, temp,
+                grammar_mask=self.grammar_mask,
             )
             fake = self._graphs(fake_tokens)
             real = self._real_graph(batch)
@@ -291,7 +298,10 @@ class GANTrainer:
 
         def g_loss_fn(g_params, d_params, gd_params, batch: ComplexBatch, key):
             enc, pad, prop = self._encode(g_params, batch)
-            tokens, logp = sample_sequences(model, g_params, enc, pad, prop, key, T, temp)
+            tokens, logp = sample_sequences(
+                model, g_params, enc, pad, prop, key, T, temp,
+                grammar_mask=self.grammar_mask,
+            )
             reward = jax.nn.sigmoid(disc.apply(d_params, tokens))
             valid = None
             if self.use_graph_disc and gd_params is not None:
@@ -377,6 +387,10 @@ def main(argv=None):
     ap.add_argument("--graph-loss", type=str, default="bce", choices=["bce", "wgan-gp"])
     ap.add_argument("--no-graph-disc", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--grammar-mask", action="store_true",
+        help="mask REINFORCE sampling with the SMILES grammar/valence mask",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else Config()
@@ -413,6 +427,7 @@ def main(argv=None):
         cfg,
         use_graph_disc=not args.no_graph_disc,
         graph_loss=args.graph_loss,
+        grammar_mask=args.grammar_mask,
     )
     state = trainer.init(jax.random.PRNGKey(args.seed + 1), g_params, batch)
     writer = MetricsWriter(args.logdir)
@@ -433,7 +448,8 @@ def main(argv=None):
     enc, pad, prop = trainer._encode(state.g_params, batch)
     tokens, _ = jax.jit(
         lambda p, e, pd, pr, k: sample_sequences(
-            trainer.model, p, e, pd, pr, k, cfg.model.decoder.tgt_len
+            trainer.model, p, e, pd, pr, k, cfg.model.decoder.tgt_len,
+            grammar_mask=args.grammar_mask,
         )
     )(state.g_params, enc, pad, prop, key)
     stats = validity_stats(np.asarray(tokens))
