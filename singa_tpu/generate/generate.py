@@ -70,7 +70,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", type=str, required=True)
     ap.add_argument("--config", type=str, default=None)
-    ap.add_argument("--input", type=str, required=True, help="pocket PDB")
+    ap.add_argument(
+        "--input", type=str, required=True,
+        help="pocket PDB, or a .npz complex from the ETL (exact same "
+        "featurization the checkpoint was trained on)",
+    )
+    ap.add_argument("--ligand", type=str, default=None,
+                    help="ligand SDF locating the pocket (PDB input only)")
     ap.add_argument("--output", type=str, default="generated.csv")
     args = ap.parse_args(argv)
 
@@ -79,7 +85,14 @@ def main(argv=None):
     if args.config is None and os.path.exists(ckpt_cfg_path):
         cfg = load_config(ckpt_cfg_path)
 
-    batch = build_from_files(args.input, None, cfg.shapes, cfg.model.decoder.tgt_len)
+    if args.input.endswith(".npz"):
+        from singa_tpu.data.dataset import _stack
+
+        batch = _stack([dict(np.load(args.input))])
+    else:
+        batch = build_from_files(
+            args.input, args.ligand, cfg.shapes, cfg.model.decoder.tgt_len
+        )
     model = SINGA(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     mgr = CheckpointManager(args.checkpoint)

@@ -166,3 +166,34 @@ def test_kv_cache_matches_full_decode():
     np.testing.assert_allclose(
         np.asarray(inc), np.asarray(full[:, :8, :]), atol=2e-3, rtol=1e-3
     )
+
+
+def test_generate_cli_npz_input(tmp_path):
+    """The generate CLI accepts an ETL .npz complex directly (the trained-on
+    featurization, used by the real-data anchor runbook stage 5)."""
+    from singa_tpu.generate import generate as gen_cli
+    from singa_tpu.train.loop import Trainer
+
+    cfg = tiny_config()
+    batch = synthetic_batch(0, 1, shapes=cfg.shapes, tgt_len=TGT_LEN)
+    npz = tmp_path / "complex.npz"
+    save_complex(str(npz), batch)
+
+    logdir = tmp_path / "run"
+    trainer = Trainer(cfg, logdir=str(logdir), use_mesh=False)
+    trainer.init_state(batch)
+    trainer.step = 1
+    trainer.save()
+    trainer.ckpt.wait()
+
+    out = tmp_path / "gen.csv"
+    gen_cli.main(
+        [
+            "--checkpoint", str(logdir / "checkpoints"),
+            "--input", str(npz),
+            "--output", str(out),
+        ]
+    )
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "smiles,score"
+    assert len(lines) > 1
