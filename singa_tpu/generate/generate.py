@@ -78,6 +78,11 @@ def main(argv=None):
     ap.add_argument("--ligand", type=str, default=None,
                     help="ligand SDF locating the pocket (PDB input only)")
     ap.add_argument("--output", type=str, default="generated.csv")
+    ap.add_argument(
+        "--props", action="store_true",
+        help="add validity/QED/SA/logP/TPSA columns (host chem stack; the "
+        "reference's gen.py CSV carries the molecules only)",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else Config()
@@ -107,9 +112,25 @@ def main(argv=None):
     smiles, scores = generate_for_pocket(model, params, batch, cfg)
     with open(args.output, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["smiles", "score"])
-        for s, sc in zip(smiles, scores):
-            w.writerow([s, float(sc)])
+        if not args.props:
+            w.writerow(["smiles", "score"])
+            for s, sc in zip(smiles, scores):
+                w.writerow([s, float(sc)])
+        else:
+            from singa_tpu.chem.properties import logp, qed, sa_score, tpsa
+            from singa_tpu.chem.smiles_parser import parse_smiles
+
+            w.writerow(["smiles", "score", "valid", "qed", "sa", "logp", "tpsa"])
+            n_valid = 0
+            for s, sc in zip(smiles, scores):
+                try:
+                    mol = parse_smiles(s)
+                    row = [s, float(sc), 1, qed(mol), sa_score(mol), logp(mol), tpsa(mol)]
+                    n_valid += 1
+                except Exception:
+                    row = [s, float(sc), 0, "", "", "", ""]
+                w.writerow(row)
+            print(f"valid: {n_valid}/{len(smiles)}")
     print(f"wrote {len(smiles)} molecules to {args.output}")
 
 

@@ -35,7 +35,7 @@ stage train_real 3600 python -m singa_tpu.train.loop \
 stage gen_real 2400 python -m singa_tpu.generate.generate \
   --checkpoint "$OUT/real_mini/checkpoints" \
   --input data/ref_graphs_large/train/7cff.npz \
-  --output "$OUT/real_mini_generated.csv"
+  --output "$OUT/real_mini_generated.csv" --props
 
 # 6) generation quality, trained decoder, masked vs unmasked
 stage gen_mask 3600 python tools/bench_generate.py 32 --pretrain 200
