@@ -78,6 +78,15 @@ def main():
             else dataclasses.replace(cfg.embedding, remat_policy=pol)
         )
         cfg = dataclasses.replace(cfg, embedding=emb)
+    elif batch_size <= 32:
+        # measured round 3: with the fused FFN kernel the batch-32 backward
+        # fits WITHOUT embedding remat (the wide FFN tensors never hit HBM)
+        # and runs ~2.5% faster; remat stays on for larger batches
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, embedding=dataclasses.replace(cfg.embedding, remat=False)
+        )
     set_compute_dtype(cfg.train.compute_dtype)
     # batches run MONOLITHICALLY by default: the round-2 OOM rationale (the
     # dense encoder's [B, N, N, De] pair tensors) is stale since the
