@@ -24,7 +24,7 @@ stage bench_b32 2400 python bench.py 32
 stage bench_b64_lmax4 2400 python bench.py 64 --lmax 4
 
 # 3) monolithic batch-64 at lmax 6 with encoder remat (OOM retest)
-stage bench_b64_encremat 2400 python bench.py 64 --enc-remat full
+stage bench_b64_encremat 2400 python bench.py 64 --enc-remat on
 
 # 4) real-data overfit anchor on the bundled reference complexes
 stage train_real 3600 python -m singa_tpu.train.loop \
