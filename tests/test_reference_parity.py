@@ -479,3 +479,188 @@ def test_s2_activation_matches_reference():
             jnp.asarray(s_np), jnp.asarray(x_np), LMAX, LMAX
         )
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# CProMG decoder golden parity (reference model/CProMG.py:108-423, pure torch
+# once the graph libraries are stubbed)
+# ---------------------------------------------------------------------------
+
+
+def _load_reference_cpromg():
+    if "ref_cpromg" in sys.modules:
+        return sys.modules["ref_cpromg"]
+    import types as _t
+
+    dgl = _t.ModuleType("dgl")
+    pyg = _t.ModuleType("torch_geometric")
+    pyg_data = _t.ModuleType("torch_geometric.data")
+    pyg_data.Data = object
+    pyg_data.HeteroData = object
+    pyg_nn = _t.ModuleType("torch_geometric.nn")
+    pyg_nn.knn_graph = None
+    pyg_utils = _t.ModuleType("torch_geometric.utils")
+    pyg_utils.get_laplacian = None
+    pyg_utils.to_dense_batch = None
+    pyg_utils.to_undirected = None
+    pyg.data, pyg.nn, pyg.utils = pyg_data, pyg_nn, pyg_utils
+    tsc = _t.ModuleType("torch_scatter")
+    tsc.scatter_sum = None
+    tsc.scatter_softmax = None
+    tcl = _t.ModuleType("torch_cluster")
+    stubs = {
+        "dgl": dgl,
+        "torch_geometric": pyg,
+        "torch_geometric.data": pyg_data,
+        "torch_geometric.nn": pyg_nn,
+        "torch_geometric.utils": pyg_utils,
+        "torch_scatter": tsc,
+        "torch_cluster": tcl,
+    }
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_cpromg", "/root/reference/model/CProMG.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_cpromg"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                sys.modules[k] = v
+            else:
+                sys.modules.pop(k, None)
+    sys.modules["ref_cpromg"] = mod
+    return mod
+
+
+def _t32(x):
+    return torch.tensor(np.asarray(x), dtype=torch.float32)
+
+
+def _lin_from(tmod):
+    """torch Linear -> flax {'Dense_0': {kernel [in,out], bias}}"""
+    return {
+        "Dense_0": {
+            "kernel": np.ascontiguousarray(tmod.weight.detach().numpy().T),
+            "bias": tmod.bias.detach().numpy(),
+        }
+    }
+
+
+def _ln_from(tmod):
+    return {
+        "scale": tmod.weight.detach().numpy(),
+        "bias": tmod.bias.detach().numpy(),
+    }
+
+
+def _conv1_from(tmod):
+    """torch Conv1d(k=1) -> flax Dense params."""
+    w = tmod.weight.detach().numpy()[:, :, 0]  # [out, in]
+    return {
+        "Dense_0": {
+            "kernel": np.ascontiguousarray(w.T),
+            "bias": tmod.bias.detach().numpy(),
+        }
+    }
+
+
+def _mha_from(tmod):
+    return {
+        "W_Q": _lin_from(tmod.W_Q),
+        "W_K": _lin_from(tmod.W_K),
+        "W_V": _lin_from(tmod.W_V),
+        "linear": _lin_from(tmod.linear),
+        "layer_norm": _ln_from(tmod.layer_norm),
+    }
+
+
+def test_cpromg_decoder_matches_reference():
+    """Full teacher-forced decoder stack (embeddings + property prefix +
+    causal/pad masks + N DecoderLayers) against the reference's Decoder
+    (CProMG.py:371-423) with copied weights."""
+    import types as _t
+
+    import chex
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.config import DecoderConfig, SMI_VOCAB
+    from singa_tpu.dtypes import set_compute_dtype
+    from singa_tpu.models.cpromg import Decoder
+
+    set_compute_dtype("float32")
+    mod = _load_reference_cpromg()
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+
+    C, KC, H, L, P = 64, 64, 4, 2, 3
+    B, T, S = 2, 12, 9
+    ref_cfg = _t.SimpleNamespace(
+        hidden_channels=C,
+        key_channels=KC,
+        num_heads=H,
+        num_interactions=L,
+        smiVoc=list(SMI_VOCAB),
+    )
+    ref = mod.Decoder(ref_cfg, num_props=P, device="cpu").eval()
+
+    pad = SMI_VOCAB.index("^")
+    tokens_np = rng.integers(1, 40, (B, T)).astype(np.int64)
+    tokens_np[0, -3:] = pad
+    # reference pads with smiVoc.index('^') and masks those keys
+    tokens_np[tokens_np == pad] = pad
+    enc_np = rng.normal(size=(B, S, C)).astype(np.float32)
+    prop_np = rng.normal(size=(B, P)).astype(np.float32)
+    enc_pad_np = np.zeros((B, 1, S), bool)
+    enc_pad_np[:, :, -2:] = True
+
+    with torch.no_grad():
+        want = ref(
+            torch.tensor(tokens_np),
+            _t32(enc_np),
+            torch.tensor(enc_pad_np),
+            tgt_len=T,
+            prop=_t32(prop_np),
+        ).numpy()
+
+    cfg = DecoderConfig(
+        tgt_len=T, hidden_channels=C, key_channels=KC, num_heads=H,
+        num_interactions=L, ffn_hidden=1024, vocab_size=len(SMI_VOCAB),
+    )
+    dec = Decoder(cfg, num_props=P, pad_token=pad)
+    params = dec.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(tokens_np, jnp.int32),
+        jnp.asarray(enc_np),
+        jnp.asarray(enc_pad_np),
+        jnp.asarray(prop_np),
+    )["params"]
+
+    mapped = dict(params)
+    mapped["mol_emb"] = {"embedding": ref.mol_emb.weight.detach().numpy()}
+    mapped["type_emb"] = {"embedding": ref.type_emb.weight.detach().numpy()}
+    mapped["prop_nn"] = _lin_from(ref.prop_nn)
+    for i, layer in enumerate(ref.layers):
+        mapped[f"layer_{i}"] = {
+            "dec_self_attn": _mha_from(layer.dec_self_attn),
+            "dec_enc_attn": _mha_from(layer.dec_enc_attn),
+            "pos_ffn": {
+                "conv1": _conv1_from(layer.pos_ffn.conv1),
+                "conv2": _conv1_from(layer.pos_ffn.conv2),
+                "layer_norm": _ln_from(layer.pos_ffn.layer_norm),
+            },
+        }
+    chex.assert_trees_all_equal_structs(mapped, params)
+
+    got = dec.apply(
+        {"params": mapped},
+        jnp.asarray(tokens_np, jnp.int32),
+        jnp.asarray(enc_np),
+        jnp.asarray(enc_pad_np),
+        jnp.asarray(prop_np),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
