@@ -116,7 +116,7 @@ class GraphMHA(nn.Module):
         out = Linear(self.hidden_channels, name="out_transform")(
             shifted_softplus(out)
         )
-        return nn.LayerNorm(name="layer_norm")(out)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(out)
 
 
 class DenseMHA(nn.Module):
@@ -177,7 +177,7 @@ class DenseMHA(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vs).reshape(B, Tq, -1)
         out = Linear(self.hidden_channels, name="linear")(ctx)
-        return nn.LayerNorm(name="layer_norm")(out + residual)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(out + residual)
 
 
 class PositionwiseFFN(nn.Module):
@@ -191,7 +191,7 @@ class PositionwiseFFN(nn.Module):
         residual = x
         h = jax.nn.relu(Linear(self.ffn_hidden, name="conv1")(x))
         h = Linear(self.hidden_channels, name="conv2")(h)
-        return nn.LayerNorm(name="layer_norm")(h + residual)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(h + residual)
 
 
 def sinusoidal_pe(length: int, d_model: int, dtype=jnp.float32) -> jax.Array:
@@ -355,7 +355,7 @@ class Encoder2(nn.Module):
                     name=f"layer_{i}_cross",
                 )(msa, proj, cross_mask)
                 cross = cross * mask[..., None]
-                msa = nn.LayerNorm(name=f"layer_{i}_norm")(msa + cross)
+                msa = nn.LayerNorm(epsilon=1e-5, name=f"layer_{i}_norm")(msa + cross)
             x = PositionwiseFFN(
                 self.cfg.hidden_channels, self.cfg.ffn_hidden, name=f"layer_{i}_ffn"
             )(msa)

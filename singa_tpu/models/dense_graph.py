@@ -160,7 +160,7 @@ class DenseGraphMHA(nn.Module):
 
         out = Linear(self.hidden_channels, name="centroid_lin")(x) + aggr
         out = Linear(self.hidden_channels, name="out_transform")(shifted_softplus(out))
-        out = nn.LayerNorm(name="layer_norm")(out)
+        out = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(out)
         return out * g.node_mask[..., None]
 
 

@@ -664,3 +664,96 @@ def test_cpromg_decoder_matches_reference():
         jnp.asarray(prop_np),
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
+
+
+def test_cpromg_graph_attention_matches_reference():
+    """Segment-form graph MHA (our GraphMHA) vs the reference's
+    MultiHeadAttention (CProMG.py:19-78), with real torch implementations
+    injected for the absent torch_scatter ops. The dense and neighbor-list
+    encoder forms are parity-tested against this segment form elsewhere, so
+    this anchors all three to torch. fp64 both sides: the fp32 stack
+    accumulates ~5e-4 through MLP+softmax+LN, which would mask real bugs."""
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.dtypes import compute_dtype_scope
+    from singa_tpu.models.cpromg import GraphMHA
+    from singa_tpu.ops.knn import EdgeList
+
+    mod = _load_reference_cpromg()
+
+    def scatter_sum(src, index, dim=0, dim_size=None):
+        assert dim == 0
+        n = dim_size if dim_size is not None else int(index.max()) + 1
+        out = torch.zeros((n,) + src.shape[1:], dtype=src.dtype)
+        return out.index_add(0, index, src)
+
+    def scatter_softmax(src, index, dim=0):
+        assert dim == 0
+        n = int(index.max()) + 1
+        idx_full = index.reshape((-1,) + (1,) * (src.dim() - 1)).expand_as(src)
+        mx = torch.full((n,) + src.shape[1:], -torch.inf, dtype=src.dtype)
+        mx = mx.scatter_reduce(0, idx_full, src, reduce="amax")
+        e = torch.exp(src - mx[index])
+        den = scatter_sum(e, index, 0, n)
+        return e / den[index]
+
+    mod.scatter_sum = scatter_sum
+    mod.scatter_softmax = scatter_softmax
+
+    torch.manual_seed(1)
+    rng = np.random.default_rng(1)
+    C, De, KC, H = 64, 16, 32, 4
+    N, E = 20, 70
+    ref = mod.MultiHeadAttention(C, De, KC, num_heads=H, device="cpu").double().eval()
+
+    x_np = rng.normal(size=(N, C))
+    ea_np = rng.normal(size=(E, De))
+    row = rng.integers(0, N, E)
+    col = rng.integers(0, N, E)
+    with torch.no_grad():
+        want = ref(
+            torch.tensor(x_np), torch.tensor(np.stack([row, col])),
+            torch.tensor(ea_np),
+        ).numpy()
+
+    ours = GraphMHA(hidden_channels=C, key_channels=KC, num_heads=H)
+    edges = EdgeList(
+        jnp.asarray(row, jnp.int32), jnp.asarray(col, jnp.int32),
+        jnp.ones((E,), bool),
+    )
+    x64 = jnp.asarray(x_np, jnp.float64)
+    ea64 = jnp.asarray(ea_np, jnp.float64)
+    with compute_dtype_scope(jnp.float64):
+        params = ours.init(jax.random.PRNGKey(0), x64, edges, ea64)["params"]
+
+    def grouped_from(tconv, h):
+        w = tconv.weight.detach().numpy()[:, :, 0]  # [h*out, in_per_group]
+        out_pg = w.shape[0] // h
+        return {"weight": w.reshape(h, out_pg, w.shape[1]).transpose(0, 2, 1)}
+
+    def mlp_from(tseq):
+        return {"Linear_0": _lin_from(tseq[0]), "Linear_1": _lin_from(tseq[2])}
+
+    mapped = {
+        "k_lin": grouped_from(ref.k_lin, H),
+        "q_lin": grouped_from(ref.q_lin, H),
+        "v_lin": grouped_from(ref.v_lin, H),
+        "weight_k_net": mlp_from(ref.weight_k_net),
+        "weight_k_lin": _lin_from(ref.weight_k_lin),
+        "weight_v_net": mlp_from(ref.weight_v_net),
+        "weight_v_lin": _lin_from(ref.weight_v_lin),
+        "centroid_lin": _lin_from(ref.centroid_lin),
+        "out_transform": _lin_from(ref.out_transform),
+        "layer_norm": _ln_from(ref.layer_norm),
+    }
+    import chex
+
+    chex.assert_trees_all_equal_structs(mapped, params)
+    mapped = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64), mapped)
+    with compute_dtype_scope(jnp.float64):
+        got = ours.apply({"params": mapped}, x64, edges, ea64)
+    # 1e-7, not 1e-10: the reference's ShiftedSoftplus stores its ln(2)
+    # shift via float32 .item() (CProMG.py:493), 1.9e-9 off the exact
+    # value we use; it compounds through the MLP chains
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-7)
