@@ -757,3 +757,85 @@ def test_cpromg_graph_attention_matches_reference():
     # shift via float32 .item() (CProMG.py:493), 1.9e-9 off the exact
     # value we use; it compounds through the MLP chains
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-7)
+
+
+def test_cpromg_decoder_parity_on_bundled_complex_tokens():
+    """Same decoder golden comparison driven by the REAL token tensors of the
+    bundled reference complexes (BASELINE.md: 'per-layer fp32 match ... on
+    bundled example complexes') and their real property-threshold vector."""
+    import types as _t
+
+    import chex
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.config import DecoderConfig, SMI_VOCAB
+    from singa_tpu.dtypes import set_compute_dtype
+    from singa_tpu.models.cpromg import Decoder
+
+    set_compute_dtype("float32")
+    mod = _load_reference_cpromg()
+    torch.manual_seed(3)
+    rng = np.random.default_rng(3)
+
+    z1 = np.load("data/ref_graphs/train/4agq_5a7b.npz")
+    z2 = np.load("data/ref_graphs/train/5cp5_4nue.npz")
+    T = 64  # truncated window keeps the test fast; covers real pad tokens
+    tokens_np = np.stack(
+        [z1["tokens.input"][:T], z2["tokens.input"][:T]]
+    ).astype(np.int64)
+    # real property conditioning bits (GAN.py:37-44 thresholds)
+    prop_np = np.stack(
+        [
+            [float(z["props.vina"]) < -7.5, float(z["props.qed"]) > 0.6,
+             float(z["props.sas"]) < 4.0]
+            for z in (z1, z2)
+        ]
+    ).astype(np.float32)
+
+    C, KC, H, L, P = 64, 64, 4, 2, 3
+    B, S = 2, 9
+    ref_cfg = _t.SimpleNamespace(
+        hidden_channels=C, key_channels=KC, num_heads=H,
+        num_interactions=L, smiVoc=list(SMI_VOCAB),
+    )
+    ref = mod.Decoder(ref_cfg, num_props=P, device="cpu").eval()
+    enc_np = rng.normal(size=(B, S, C)).astype(np.float32)
+    enc_pad_np = np.zeros((B, 1, S), bool)
+    enc_pad_np[:, :, -1:] = True
+    with torch.no_grad():
+        want = ref(
+            torch.tensor(tokens_np), _t32(enc_np), torch.tensor(enc_pad_np),
+            tgt_len=T, prop=_t32(prop_np),
+        ).numpy()
+
+    pad = SMI_VOCAB.index("^")
+    cfg = DecoderConfig(
+        tgt_len=T, hidden_channels=C, key_channels=KC, num_heads=H,
+        num_interactions=L, ffn_hidden=1024, vocab_size=len(SMI_VOCAB),
+    )
+    dec = Decoder(cfg, num_props=P, pad_token=pad)
+    params = dec.init(
+        jax.random.PRNGKey(0), jnp.asarray(tokens_np, jnp.int32),
+        jnp.asarray(enc_np), jnp.asarray(enc_pad_np), jnp.asarray(prop_np),
+    )["params"]
+    mapped = dict(params)
+    mapped["mol_emb"] = {"embedding": ref.mol_emb.weight.detach().numpy()}
+    mapped["type_emb"] = {"embedding": ref.type_emb.weight.detach().numpy()}
+    mapped["prop_nn"] = _lin_from(ref.prop_nn)
+    for i, layer in enumerate(ref.layers):
+        mapped[f"layer_{i}"] = {
+            "dec_self_attn": _mha_from(layer.dec_self_attn),
+            "dec_enc_attn": _mha_from(layer.dec_enc_attn),
+            "pos_ffn": {
+                "conv1": _conv1_from(layer.pos_ffn.conv1),
+                "conv2": _conv1_from(layer.pos_ffn.conv2),
+                "layer_norm": _ln_from(layer.pos_ffn.layer_norm),
+            },
+        }
+    chex.assert_trees_all_equal_structs(mapped, params)
+    got = dec.apply(
+        {"params": mapped}, jnp.asarray(tokens_np, jnp.int32),
+        jnp.asarray(enc_np), jnp.asarray(enc_pad_np), jnp.asarray(prop_np),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
