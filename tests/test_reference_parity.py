@@ -839,3 +839,43 @@ def test_cpromg_decoder_parity_on_bundled_complex_tokens():
         jnp.asarray(enc_np), jnp.asarray(enc_pad_np), jnp.asarray(prop_np),
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
+
+
+def test_so3_linear_matches_reference():
+    """SO3_LinearV2 (EF_layers.py:624-671) vs our SO3Linear with copied
+    per-degree weights, fp64."""
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.dtypes import compute_dtype_scope
+    from singa_tpu.equivariant.layers import SO3Linear
+
+    mod = _load_reference_ef_layers()
+    torch.manual_seed(5)
+    rng = np.random.default_rng(5)
+    CI, CO = 16, 24
+    N = 7
+    ref = mod.SO3_LinearV2(CI, CO, LMAX, device="cpu").double()
+    with torch.no_grad():
+        ref.bias.copy_(torch.tensor(rng.normal(size=(CO,))))
+
+    x_np = rng.normal(size=(N, (LMAX + 1) ** 2, CI))
+    emb = mod.SO3_Embedding(
+        N, [LMAX], CI, device="cpu", dtype=torch.float64
+    )
+    emb.set_embedding(torch.tensor(x_np))
+    with torch.no_grad():
+        want = ref(emb).embedding.numpy()
+
+    ours = SO3Linear(features=CO, lmax=LMAX)
+    with compute_dtype_scope(jnp.float64):
+        params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x_np))["params"]
+        mapped = {
+            "weight": ref.weight.detach().numpy(),
+            "bias": ref.bias.detach().numpy(),
+        }
+        import chex
+
+        chex.assert_trees_all_equal_structs(mapped, params)
+        got = ours.apply({"params": mapped}, jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
