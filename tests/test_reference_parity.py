@@ -16,6 +16,19 @@ reference"):
    (EF_layers.py:1413-1552) instantiated directly; its ``to_m`` permutation,
    m-block sizes, coefficient masks and the m-truncation rescale must match
    our static index arrays (singa_tpu/equivariant/so3.py).
+
+Anchoring boundary (documented, not an omission): the full
+SO2EquivariantGraphAttention / TransBlockV2 blocks are NOT golden-anchored
+end-to-end because exact parity is impossible in principle — the reference
+draws a RANDOM azimuthal gauge per forward (init_edge_rot_mat,
+EF_layers.py:2302 ``torch.rand_like``), and the discrete S2-grid activation
+is not exactly gauge-invariant, so the reference's own block output varies
+run-to-run. Every deterministic constituent IS anchored here (Wigner,
+coefficient mapping, SO2_m/SO2 convolution incl. radial + extra-m0,
+RadialFunction, SO3_LinearV2, all three equivariant norms, Gate/S2/sep-S2
+activations, and the full CProMG decoder/graph-attention stacks); the
+block-level composition is covered by rotation-equivariance and gauge tests
+(tests/test_equivariant_layers.py) at 1e-5.
 """
 from __future__ import annotations
 
