@@ -892,3 +892,134 @@ def test_so3_linear_matches_reference():
         chex.assert_trees_all_equal_structs(mapped, params)
         got = ours.apply({"params": mapped}, jnp.asarray(x_np))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
+
+
+def test_edge_degree_embedding_matches_reference():
+    """EdgeDegreeEmbedding (EF_layers.py:23-149) vs torch: radial MLP ->
+    m=0 edge-frame fill -> rotate back -> per-node sum -> rescale.
+
+    Raw coefficient arrays are NOT directly comparable: the reference's
+    m-order bookkeeping (to_m + _l_primary + RotationToWignerDMatrix) and
+    ours realise the same representation in bases that differ by a fixed
+    per-degree orthogonal intertwiner (empirically a coordinate permutation
+    at l=1), and each pipeline is only self-consistent in its own basis. So
+    this test anchors the basis-INDEPENDENT content, which determines the
+    model: (a) our m=0 fill rotates back axially aligned with the edge
+    (exact, l=1 reads back the edge direction), and (b) per-degree
+    per-channel norms of the rotated-back embedding match the reference's
+    exactly with one edge per node (norms are invariant to the intertwiner;
+    radial weights copied)."""
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.equivariant import so3
+    from singa_tpu.equivariant.attention import EdgeDegreeEmbedding
+    from singa_tpu.ops.neighbors import EdgeEngine
+
+    mod = _load_reference_ef_layers()
+
+    # real e3nn angle conventions for the stubbed o3 module
+    def xyz_to_angles(xyz):
+        xyz = torch.nn.functional.normalize(xyz, p=2.0, dim=-1)
+        xyz = xyz.clamp(-1, 1)
+        beta = torch.acos(xyz[..., 1])
+        alpha = torch.atan2(xyz[..., 0], xyz[..., 2])
+        return alpha, beta
+
+    def _rot_y(a):
+        c, s, o, z = torch.cos(a), torch.sin(a), torch.ones_like(a), torch.zeros_like(a)
+        return torch.stack(
+            [torch.stack([c, z, s], -1), torch.stack([z, o, z], -1),
+             torch.stack([-s, z, c], -1)], -2)
+
+    def _rot_x(a):
+        c, s, o, z = torch.cos(a), torch.sin(a), torch.ones_like(a), torch.zeros_like(a)
+        return torch.stack(
+            [torch.stack([o, z, z], -1), torch.stack([z, c, -s], -1),
+             torch.stack([z, s, c], -1)], -2)
+
+    mod.o3.xyz_to_angles = xyz_to_angles
+    mod.o3.angles_to_matrix = lambda a, b, g: _rot_y(a) @ _rot_x(b) @ _rot_y(g)
+
+    torch.manual_seed(7)
+    rng = np.random.default_rng(7)
+    C, De = 8, 16
+    N = 6
+    E = N  # one edge per destination node: per-node invariants stay exact
+    RESCALE = 5.0
+
+    dst = np.arange(N)
+    src = (dst + rng.integers(1, N, E)) % N  # no self-loops
+    pos = rng.normal(size=(N, 3)) * 3.0
+    edge_vec = pos[dst] - pos[src]
+    x_edge = rng.normal(size=(E, De)).astype(np.float32)
+
+    # ---- (a) our edge frame is exactly edge-aligned on the m=0 subspace ----
+    frame = so3.edge_frame(jnp.asarray(edge_vec, jnp.float32))
+    mapping_t = so3.CoefficientMapping(LMAX, MMAX)
+    probe = np.zeros((E, mapping_t.n_trunc, 1), np.float32)
+    probe[:, 1, 0] = 1.0  # l=1, m=0 in the m-primary layout
+    back = np.asarray(
+        so3.rotate_inv(frame, jnp.asarray(probe), LMAX, MMAX, m_primary=True)
+    )
+    v = back[:, 1:4, 0]  # l=1 block, our (y, z, x) component order
+    d_hat = edge_vec / np.linalg.norm(edge_vec, axis=1, keepdims=True)
+    np.testing.assert_allclose(
+        np.stack([v[:, 2], v[:, 0], v[:, 1]], axis=1), d_hat, atol=1e-6
+    )
+
+    # ---- (b) per-degree norms match the torch reference ----
+    mapping = mod.CoefficientMappingModule([LMAX], [MMAX], device="cpu")
+    rot = mod.init_edge_rot_mat(
+        torch.tensor(edge_vec, dtype=torch.float32), device="cpu"
+    )
+    so3rot = mod.SO3_Rotation(LMAX, device="cpu")
+    so3rot.set_wigner(rot)
+    ref = mod.EdgeDegreeEmbedding(
+        sphere_channels=C, lmax_list=[LMAX], mmax_list=[MMAX],
+        SO3_rotation=[so3rot], mappingReduced=mapping,
+        max_num_elements=32, edge_channels_list=[De, 16, 16],
+        use_atom_edge_embedding=False, rescale_factor=RESCALE, device="cpu",
+    ).eval()
+    with torch.no_grad():
+        want = ref(
+            torch.zeros(N, dtype=torch.long),
+            torch.tensor(x_edge),
+            torch.tensor(np.stack([src, dst])),
+            hetero=False,
+        ).embedding.numpy()
+
+    ours = EdgeDegreeEmbedding(
+        sphere_channels=C, lmax=LMAX, mmax=MMAX,
+        edge_channels=(16, 16), rescale_factor=RESCALE,
+    )
+    K = 1
+    table = np.full((1, N, K), E, np.int64)
+    for e, d in enumerate(dst):
+        table[0, d, 0] = e
+    engine = EdgeEngine.create(
+        jnp.asarray(np.stack([src, dst], -1)[None], jnp.int32),
+        jnp.ones((1, E), bool),
+        jnp.asarray(table, jnp.int32),
+        n_src=N, n_dst=N,
+    )
+    xe = jnp.asarray(x_edge)
+    params = ours.init(jax.random.PRNGKey(0), xe, engine, frame)["params"]
+    mapped = {"RadialMLP_0": _radial_params_to_ours(ref.rad_func.net)}
+    import chex
+
+    chex.assert_trees_all_equal_structs(mapped, params)
+    got = np.asarray(ours.apply({"params": mapped}, xe, engine, frame))
+
+    def per_l_norms(arr):
+        return np.stack(
+            [
+                np.linalg.norm(arr[:, l * l : (l + 1) * (l + 1), :], axis=1)
+                for l in range(LMAX + 1)
+            ],
+            axis=1,
+        )  # [N, L, C]
+
+    np.testing.assert_allclose(
+        per_l_norms(got), per_l_norms(want), atol=2e-5, rtol=1e-4
+    )
