@@ -1023,3 +1023,159 @@ def test_edge_degree_embedding_matches_reference():
     np.testing.assert_allclose(
         per_l_norms(got), per_l_norms(want), atol=2e-5, rtol=1e-4
     )
+
+
+def test_cpromg_encoder_matches_reference_on_7cff():
+    """Full pocket-encoder chain vs the torch reference (CProMG.py:276-309)
+    on REAL 7cff pocket coordinates/features from our ETL: kNN graph ->
+    undirected mean lengths -> Gaussian smearing (stop=15) -> Laplacian edge
+    transform -> [attention + FFN] x L, with real torch implementations
+    injected for the absent PyG ops (knn_graph / to_undirected /
+    get_laplacian / to_dense_batch). fp64 both sides."""
+    import types as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.dtypes import compute_dtype_scope
+    from singa_tpu.models.cpromg import EncoderLayer, _build_graph
+
+    mod = _load_reference_cpromg()
+
+    def knn_graph(pos, k, batch=None, flow="target_to_source"):
+        n = pos.shape[0]
+        d = torch.cdist(pos, pos)
+        d.fill_diagonal_(float("inf"))
+        nbr = d.topk(k, largest=False).indices  # [n, k]
+        center = torch.arange(n).repeat_interleave(k)
+        return torch.stack([center, nbr.reshape(-1)])
+
+    def to_undirected(edge_index, edge_attr, reduce="mean"):
+        n = int(edge_index.max()) + 1
+        ei = torch.cat([edge_index, edge_index.flip(0)], dim=1)
+        ea = torch.cat([edge_attr, edge_attr])
+        key = ei[0] * n + ei[1]
+        uniq, inv = key.unique(return_inverse=True)
+        cnt = torch.zeros(len(uniq), dtype=ea.dtype).index_add(
+            0, inv, torch.ones_like(ea)
+        )
+        summed = torch.zeros(len(uniq), dtype=ea.dtype).index_add(0, inv, ea)
+        return torch.stack([uniq // n, uniq % n]), summed / cnt
+
+    def get_laplacian(edge_index, edge_weight, normalization=None):
+        n = int(edge_index.max()) + 1
+        row = edge_index[0]
+        deg = torch.zeros((n,) + edge_weight.shape[1:], dtype=edge_weight.dtype)
+        deg = deg.index_add(0, row, edge_weight)
+        loop = torch.arange(n)
+        ei = torch.cat([edge_index, torch.stack([loop, loop])], dim=1)
+        ew = torch.cat([-edge_weight, deg], dim=0)
+        return ei, ew
+
+    def to_dense_batch(x, batch):
+        return x.unsqueeze(0), torch.ones(1, x.shape[0], dtype=torch.bool)
+
+    mod.knn_graph = knn_graph
+    mod.to_undirected = to_undirected
+    mod.get_laplacian = get_laplacian
+    mod.to_dense_batch = to_dense_batch
+
+    def scatter_sum(src, index, dim=0, dim_size=None):
+        n = dim_size if dim_size is not None else int(index.max()) + 1
+        out = torch.zeros((n,) + src.shape[1:], dtype=src.dtype)
+        return out.index_add(0, index, src)
+
+    def scatter_softmax(src, index, dim=0):
+        n = int(index.max()) + 1
+        idx_full = index.reshape((-1,) + (1,) * (src.dim() - 1)).expand_as(src)
+        mx = torch.full((n,) + src.shape[1:], -torch.inf, dtype=src.dtype)
+        mx = mx.scatter_reduce(0, idx_full, src, reduce="amax")
+        e = torch.exp(src - mx[index])
+        den = scatter_sum(e, index, 0, n)
+        return e / den[index]
+
+    mod.scatter_sum = scatter_sum
+    mod.scatter_softmax = scatter_softmax
+
+    z = np.load("data/ref_graphs_large/train/7cff.npz")
+    valid = z["protein.mask"].astype(bool)
+    N, K_NN, L = 96, 16, 2
+    feat = z["protein.x"][valid][:N].astype(np.float64)
+    pos = z["protein.pos"][valid][:N].astype(np.float64)
+    lap = z["protein.lap_pe"][valid][:N].astype(np.float64)
+
+    torch.manual_seed(11)
+    C, KC, H, De = 64, 32, 4, 16
+    ref_cfg = _t.SimpleNamespace(
+        hidden_channels=C, key_channels=KC, num_heads=H, edge_channels=De,
+        knn=K_NN, lap_dim=lap.shape[1], num_interactions=L,
+    )
+    ref = mod.Encoder(ref_cfg, protein_atom_feature_dim=feat.shape[1],
+                      device="cpu").double().eval()
+    with torch.no_grad():
+        enc_ref, pad_ref, msas_ref = ref(
+            torch.tensor(feat), torch.tensor(pos),
+            torch.zeros(N, dtype=torch.long), torch.tensor(lap),
+        )
+    enc_ref = enc_ref[0].numpy()
+
+    # ---- ours: same weights, our static-shape graph chain ----
+    def lin(tmod, x):
+        return x @ tmod.weight.detach().numpy().T + tmod.bias.detach().numpy()
+
+    def grouped_from(tconv, h):
+        w = tconv.weight.detach().numpy()[:, :, 0]
+        out_pg = w.shape[0] // h
+        return {"weight": w.reshape(h, out_pg, w.shape[1]).transpose(0, 2, 1)}
+
+    def mlp_from(tseq):
+        return {"Linear_0": _lin_from(tseq[0]), "Linear_1": _lin_from(tseq[2])}
+
+    def mha_from(tmod):
+        return {
+            "k_lin": grouped_from(tmod.k_lin, H),
+            "q_lin": grouped_from(tmod.q_lin, H),
+            "v_lin": grouped_from(tmod.v_lin, H),
+            "weight_k_net": mlp_from(tmod.weight_k_net),
+            "weight_k_lin": _lin_from(tmod.weight_k_lin),
+            "weight_v_net": mlp_from(tmod.weight_v_net),
+            "weight_v_lin": _lin_from(tmod.weight_v_lin),
+            "centroid_lin": _lin_from(tmod.centroid_lin),
+            "out_transform": _lin_from(tmod.out_transform),
+            "layer_norm": _ln_from(tmod.layer_norm),
+        }
+
+    x = lin(ref.protein_atom_emb, feat) + lin(ref.laplacian_emb, lap)
+    with compute_dtype_scope(jnp.float64):
+        edges, attr = _build_graph(
+            jnp.asarray(pos)[None], jnp.ones((1, N), bool), K_NN, 15.0, De
+        )
+        x = jnp.asarray(x)
+        cfg = _t.SimpleNamespace(
+            hidden_channels=C, key_channels=KC, num_heads=H, ffn_hidden=1024
+        )
+        from singa_tpu.config import EncoderConfig
+
+        ecfg = EncoderConfig(
+            hidden_channels=C, edge_channels=De, key_channels=KC,
+            num_heads=H, num_interactions=L, knn=K_NN,
+        )
+        for i, tlayer in enumerate(ref.layers):
+            layer = EncoderLayer(ecfg)
+            params = {
+                "enc_self_attn": mha_from(tlayer.enc_self_attn),
+                "pos_ffn": {
+                    "conv1": _conv1_from(tlayer.pos_ffn.conv1),
+                    "conv2": _conv1_from(tlayer.pos_ffn.conv2),
+                    "layer_norm": _ln_from(tlayer.pos_ffn.layer_norm),
+                },
+            }
+            params = jax.tree_util.tree_map(
+                lambda a: np.asarray(a, np.float64), params
+            )
+            msa, x = layer.apply({"params": params}, x, edges, attr.astype(jnp.float64))
+            np.testing.assert_allclose(
+                np.asarray(msa), msas_ref[i][0].numpy(), atol=1e-7,
+                err_msg=f"msa layer {i}",
+            )
+    np.testing.assert_allclose(np.asarray(x), enc_ref, atol=1e-7)
