@@ -549,6 +549,67 @@ def _load_reference_cpromg():
     return mod
 
 
+def _install_cpromg_ops(mod):
+    """Real torch implementations of the PyG/torch_scatter ops the reference
+    imports (stubbed to None at module load); idempotent."""
+
+    def knn_graph(pos, k, batch=None, flow="target_to_source"):
+        n = pos.shape[0]
+        d = torch.cdist(pos, pos)
+        d.fill_diagonal_(float("inf"))
+        nbr = d.topk(k, largest=False).indices  # [n, k]
+        center = torch.arange(n).repeat_interleave(k)
+        return torch.stack([center, nbr.reshape(-1)])
+
+    def to_undirected(edge_index, edge_attr, reduce="mean"):
+        n = int(edge_index.max()) + 1
+        ei = torch.cat([edge_index, edge_index.flip(0)], dim=1)
+        ea = torch.cat([edge_attr, edge_attr])
+        key = ei[0] * n + ei[1]
+        uniq, inv = key.unique(return_inverse=True)
+        cnt = torch.zeros(len(uniq), dtype=ea.dtype).index_add(
+            0, inv, torch.ones_like(ea)
+        )
+        summed = torch.zeros(len(uniq), dtype=ea.dtype).index_add(0, inv, ea)
+        return torch.stack([uniq // n, uniq % n]), summed / cnt
+
+    def get_laplacian(edge_index, edge_weight, normalization=None):
+        n = int(edge_index.max()) + 1
+        row = edge_index[0]
+        deg = torch.zeros((n,) + edge_weight.shape[1:], dtype=edge_weight.dtype)
+        deg = deg.index_add(0, row, edge_weight)
+        loop = torch.arange(n)
+        ei = torch.cat([edge_index, torch.stack([loop, loop])], dim=1)
+        ew = torch.cat([-edge_weight, deg], dim=0)
+        return ei, ew
+
+    def to_dense_batch(x, batch):
+        return x.unsqueeze(0), torch.ones(1, x.shape[0], dtype=torch.bool)
+
+    def scatter_sum(src, index, dim=0, dim_size=None):
+        n = dim_size if dim_size is not None else int(index.max()) + 1
+        out = torch.zeros((n,) + src.shape[1:], dtype=src.dtype)
+        return out.index_add(0, index, src)
+
+    def scatter_softmax(src, index, dim=0):
+        n = int(index.max()) + 1
+        idx_full = index.reshape((-1,) + (1,) * (src.dim() - 1)).expand_as(src)
+        mx = torch.full((n,) + src.shape[1:], -torch.inf, dtype=src.dtype)
+        mx = mx.scatter_reduce(0, idx_full, src, reduce="amax")
+        e = torch.exp(src - mx[index])
+        den = scatter_sum(e, index, 0, n)
+        return e / den[index]
+
+    mod.knn_graph = knn_graph
+    mod.to_undirected = to_undirected
+    mod.get_laplacian = get_laplacian
+    mod.to_dense_batch = to_dense_batch
+    mod.scatter_sum = scatter_sum
+    mod.scatter_softmax = scatter_softmax
+    return mod
+
+
+
 def _t32(x):
     return torch.tensor(np.asarray(x), dtype=torch.float32)
 
@@ -693,26 +754,7 @@ def test_cpromg_graph_attention_matches_reference():
     from singa_tpu.models.cpromg import GraphMHA
     from singa_tpu.ops.knn import EdgeList
 
-    mod = _load_reference_cpromg()
-
-    def scatter_sum(src, index, dim=0, dim_size=None):
-        assert dim == 0
-        n = dim_size if dim_size is not None else int(index.max()) + 1
-        out = torch.zeros((n,) + src.shape[1:], dtype=src.dtype)
-        return out.index_add(0, index, src)
-
-    def scatter_softmax(src, index, dim=0):
-        assert dim == 0
-        n = int(index.max()) + 1
-        idx_full = index.reshape((-1,) + (1,) * (src.dim() - 1)).expand_as(src)
-        mx = torch.full((n,) + src.shape[1:], -torch.inf, dtype=src.dtype)
-        mx = mx.scatter_reduce(0, idx_full, src, reduce="amax")
-        e = torch.exp(src - mx[index])
-        den = scatter_sum(e, index, 0, n)
-        return e / den[index]
-
-    mod.scatter_sum = scatter_sum
-    mod.scatter_softmax = scatter_softmax
+    mod = _install_cpromg_ops(_load_reference_cpromg())
 
     torch.manual_seed(1)
     rng = np.random.default_rng(1)
@@ -1040,62 +1082,7 @@ def test_cpromg_encoder_matches_reference_on_7cff():
     from singa_tpu.dtypes import compute_dtype_scope
     from singa_tpu.models.cpromg import EncoderLayer, _build_graph
 
-    mod = _load_reference_cpromg()
-
-    def knn_graph(pos, k, batch=None, flow="target_to_source"):
-        n = pos.shape[0]
-        d = torch.cdist(pos, pos)
-        d.fill_diagonal_(float("inf"))
-        nbr = d.topk(k, largest=False).indices  # [n, k]
-        center = torch.arange(n).repeat_interleave(k)
-        return torch.stack([center, nbr.reshape(-1)])
-
-    def to_undirected(edge_index, edge_attr, reduce="mean"):
-        n = int(edge_index.max()) + 1
-        ei = torch.cat([edge_index, edge_index.flip(0)], dim=1)
-        ea = torch.cat([edge_attr, edge_attr])
-        key = ei[0] * n + ei[1]
-        uniq, inv = key.unique(return_inverse=True)
-        cnt = torch.zeros(len(uniq), dtype=ea.dtype).index_add(
-            0, inv, torch.ones_like(ea)
-        )
-        summed = torch.zeros(len(uniq), dtype=ea.dtype).index_add(0, inv, ea)
-        return torch.stack([uniq // n, uniq % n]), summed / cnt
-
-    def get_laplacian(edge_index, edge_weight, normalization=None):
-        n = int(edge_index.max()) + 1
-        row = edge_index[0]
-        deg = torch.zeros((n,) + edge_weight.shape[1:], dtype=edge_weight.dtype)
-        deg = deg.index_add(0, row, edge_weight)
-        loop = torch.arange(n)
-        ei = torch.cat([edge_index, torch.stack([loop, loop])], dim=1)
-        ew = torch.cat([-edge_weight, deg], dim=0)
-        return ei, ew
-
-    def to_dense_batch(x, batch):
-        return x.unsqueeze(0), torch.ones(1, x.shape[0], dtype=torch.bool)
-
-    mod.knn_graph = knn_graph
-    mod.to_undirected = to_undirected
-    mod.get_laplacian = get_laplacian
-    mod.to_dense_batch = to_dense_batch
-
-    def scatter_sum(src, index, dim=0, dim_size=None):
-        n = dim_size if dim_size is not None else int(index.max()) + 1
-        out = torch.zeros((n,) + src.shape[1:], dtype=src.dtype)
-        return out.index_add(0, index, src)
-
-    def scatter_softmax(src, index, dim=0):
-        n = int(index.max()) + 1
-        idx_full = index.reshape((-1,) + (1,) * (src.dim() - 1)).expand_as(src)
-        mx = torch.full((n,) + src.shape[1:], -torch.inf, dtype=src.dtype)
-        mx = mx.scatter_reduce(0, idx_full, src, reduce="amax")
-        e = torch.exp(src - mx[index])
-        den = scatter_sum(e, index, 0, n)
-        return e / den[index]
-
-    mod.scatter_sum = scatter_sum
-    mod.scatter_softmax = scatter_softmax
+    mod = _install_cpromg_ops(_load_reference_cpromg())
 
     z = np.load("data/ref_graphs_large/train/7cff.npz")
     valid = z["protein.mask"].astype(bool)
@@ -1179,3 +1166,111 @@ def test_cpromg_encoder_matches_reference_on_7cff():
                 err_msg=f"msa layer {i}",
             )
     np.testing.assert_allclose(np.asarray(x), enc_ref, atol=1e-7)
+
+
+def test_cpromg_encoder2_matches_reference():
+    """Second (cross-attention) encoder vs the torch reference
+    (CProMG.py:313-343): 6 layers with dense cross-attention into the atom
+    MSA outputs at layers 2 and 5, driven by our whole Encoder2 module with
+    copied weights. fp64."""
+    import types as _t
+
+    import chex
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.config import EncoderConfig
+    from singa_tpu.dtypes import compute_dtype_scope
+    from singa_tpu.models.cpromg import Encoder2
+
+    mod = _install_cpromg_ops(_load_reference_cpromg())
+
+    torch.manual_seed(13)
+    rng = np.random.default_rng(13)
+    N, S, L = 40, 24, 6
+    C, KC, H, De = 64, 32, 4, 16
+    F_IN = 32
+
+    feat = rng.normal(size=(N, F_IN))
+    pos = rng.normal(size=(N, 3)) * 6.0
+    lap = rng.normal(size=(N, 8))
+    msas = [rng.normal(size=(1, S, C)) for _ in range(L)]
+    atom_pad = np.zeros((1, 1, S), bool)
+    atom_pad[:, :, -3:] = True
+
+    ref_cfg = _t.SimpleNamespace(
+        hidden_channels=C, key_channels=KC, num_heads=H, edge_channels=De,
+        knn=30, lap_dim=8, num_interactions=L,
+    )
+    ref = mod.Encoder2(ref_cfg, aa_feature_dim=F_IN, device="cpu").double().eval()
+    with torch.no_grad():
+        want, _ = ref(
+            torch.tensor(feat), torch.tensor(pos),
+            torch.zeros(N, dtype=torch.long), torch.tensor(lap),
+            torch.tensor(atom_pad),
+            [torch.tensor(m) for m in msas],
+        )
+    want = want[0].numpy()
+
+    def grouped_from(tconv):
+        # DenseGraphMHA holds the grouped projection as a bare array param
+        w = tconv.weight.detach().numpy()[:, :, 0]
+        out_pg = w.shape[0] // H
+        return w.reshape(H, out_pg, w.shape[1]).transpose(0, 2, 1)
+
+    def mlp_from(tseq):
+        return {"Linear_0": _lin_from(tseq[0]), "Linear_1": _lin_from(tseq[2])}
+
+    ecfg = EncoderConfig(
+        hidden_channels=C, edge_channels=De, key_channels=KC, num_heads=H,
+        num_interactions=L, knn=30, knn_aa=30,
+    )
+    ours = Encoder2(ecfg, feature_dim=F_IN)
+    with compute_dtype_scope(jnp.float64):
+        args = (
+            jnp.asarray(feat)[None], jnp.asarray(pos)[None],
+            jnp.ones((1, N), bool), jnp.asarray(lap)[None],
+            jnp.asarray(atom_pad), [jnp.asarray(m) for m in msas],
+        )
+        params = ours.init(jax.random.PRNGKey(0), *args)["params"]
+        mapped = {
+            "aa_emb": _lin_from(ref.aa_emb),
+            "laplacian_emb": _lin_from(ref.laplacian_emb),
+        }
+        for i, tl in enumerate(ref.layers):
+            a = tl.enc_self_attn
+            mapped[f"layer_{i}_attn"] = {
+                "q_lin": grouped_from(a.q_lin),
+                "k_lin": grouped_from(a.k_lin),
+                "v_lin": grouped_from(a.v_lin),
+                "weight_k_net": mlp_from(a.weight_k_net),
+                "weight_k_lin_kernel": a.weight_k_lin.weight.detach().numpy().T,
+                "weight_v_net": mlp_from(a.weight_v_net),
+                "weight_v_lin": _lin_from(a.weight_v_lin),
+                "centroid_lin": _lin_from(a.centroid_lin),
+                "out_transform": _lin_from(a.out_transform),
+                "layer_norm": _ln_from(a.layer_norm),
+            }
+            mapped[f"layer_{i}_ffn"] = {
+                "conv1": _conv1_from(tl.pos_ffn.conv1),
+                "conv2": _conv1_from(tl.pos_ffn.conv2),
+                "layer_norm": _ln_from(tl.pos_ffn.layer_norm),
+            }
+            if i in (2, 5):
+                mapped[f"layer_{i}_proj"] = _lin_from(tl.proj)
+                x2 = tl.cross_attn
+                mapped[f"layer_{i}_cross"] = {
+                    "W_Q": _lin_from(x2.W_Q), "W_K": _lin_from(x2.W_K),
+                    "W_V": _lin_from(x2.W_V), "linear": _lin_from(x2.linear),
+                    "layer_norm": _ln_from(x2.layer_norm),
+                }
+            mapped[f"layer_{i}_norm"] = (
+                _ln_from(tl.layer_norm) if i in (2, 5) else None
+            )
+        mapped = {k: v for k, v in mapped.items() if v is not None}
+        mapped = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64), mapped)
+        chex.assert_trees_all_equal_structs(mapped, params)
+        got, _ = ours.apply({"params": mapped}, *args)
+    # the reference's weight_k_lin bias is dropped in our folded form
+    # (softmax-invariant), so agreement is exact
+    np.testing.assert_allclose(np.asarray(got)[0], want, atol=1e-7)
