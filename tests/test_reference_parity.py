@@ -555,6 +555,7 @@ def _install_cpromg_ops(mod):
 
     def knn_graph(pos, k, batch=None, flow="target_to_source"):
         n = pos.shape[0]
+        k = min(k, n - 1)  # PyG returns at most n-1 neighbours
         d = torch.cdist(pos, pos)
         d.fill_diagonal_(float("inf"))
         nbr = d.topk(k, largest=False).indices  # [n, k]
@@ -1274,3 +1275,185 @@ def test_cpromg_encoder2_matches_reference():
     # the reference's weight_k_lin bias is dropped in our folded form
     # (softmax-invariant), so agreement is exact
     np.testing.assert_allclose(np.asarray(got)[0], want, atol=1e-7)
+
+
+def test_cpromg_full_transformer_matches_reference_on_7cff():
+    """The COMPLETE CProMG module vs torch (Transformer, CProMG.py:426-464):
+    pocket encoder (real 7cff features/positions/lap-PE) + second encoder
+    with cross-attention + property-prefixed decoder on the real 7cff token
+    sequence + bias-free vocab projection + prop-position strip. fp64; our
+    encoders run the dense attention form (parameter-compatible with the
+    segment/neighbor forms, which are parity-tested against it)."""
+    import dataclasses
+    import types as _t
+
+    import chex
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.config import (
+        DecoderConfig,
+        EncoderConfig,
+        ModelConfig,
+        SMI_VOCAB,
+    )
+    from singa_tpu.dtypes import compute_dtype_scope
+    from singa_tpu.models.cpromg import CProMGTransformer
+
+    mod = _install_cpromg_ops(_load_reference_cpromg())
+    torch.manual_seed(17)
+    rng = np.random.default_rng(17)
+
+    z = np.load("data/ref_graphs_large/train/7cff.npz")
+    valid = z["protein.mask"].astype(bool)
+    N, N2, L, T = 72, 20, 6, 48
+    C, KC, H, De, K_NN = 64, 32, 4, 16, 12
+    P = 3
+    feat = z["protein.x"][valid][:N].astype(np.float64)
+    pos = z["protein.pos"][valid][:N].astype(np.float64)
+    lap = z["protein.lap_pe"][valid][:N].astype(np.float64)
+    F_IN = feat.shape[1]
+    tokens_np = z["tokens.input"][:T][None].astype(np.int64)
+    prop_np = np.array(
+        [[float(z["props.vina"]) < -7.5, float(z["props.qed"]) > 0.6,
+          float(z["props.sas"]) < 4.0]], np.float64
+    )
+    feat2 = rng.normal(size=(N2, F_IN))
+    pos2 = rng.normal(size=(N2, 3)) * 5.0
+    lap2 = rng.normal(size=(N2, 8))
+
+    enc_cfg = _t.SimpleNamespace(
+        hidden_channels=C, key_channels=KC, num_heads=H, edge_channels=De,
+        knn=K_NN, lap_dim=8, num_interactions=L,
+    )
+    dec_cfg = _t.SimpleNamespace(
+        hidden_channels=C, key_channels=KC, num_heads=H,
+        num_interactions=2, smiVoc=list(SMI_VOCAB),
+    )
+    full_cfg = _t.SimpleNamespace(
+        encoder=enc_cfg, decoder=dec_cfg, hidden_channels=C
+    )
+    # reference Encoder2 hardcodes knn 30 > N2: cap via a monkeypatchable knn
+    ref = mod.Transformer(
+        full_cfg, protein_atom_feature_dim=F_IN, num_props=P, device="cpu"
+    ).double().eval()
+    with torch.no_grad():
+        want = ref(
+            torch.tensor(feat), torch.tensor(pos),
+            torch.zeros(N, dtype=torch.long), torch.tensor(lap),
+            torch.tensor(tokens_np), T,
+            torch.tensor(feat2), torch.tensor(pos2),
+            torch.zeros(N2, dtype=torch.long), torch.tensor(lap2),
+            prop=torch.tensor(prop_np),
+        ).numpy().reshape(1, T, -1)
+
+    ecfg = EncoderConfig(
+        hidden_channels=C, edge_channels=De, key_channels=KC, num_heads=H,
+        num_interactions=L, knn=K_NN, knn_aa=min(30, N2 - 1),
+        attn_form="dense", remat="off",
+    )
+    dcfg = DecoderConfig(
+        tgt_len=T, hidden_channels=C, key_channels=KC, num_heads=H,
+        num_interactions=2, ffn_hidden=1024, vocab_size=len(SMI_VOCAB),
+    )
+    mcfg = ModelConfig(
+        featurizer_feat_dim=F_IN, hidden_channels=C,
+        encoder=ecfg, decoder=dcfg, num_props=P,
+    )
+    pad = SMI_VOCAB.index("^")
+    ours = CProMGTransformer(mcfg, pad_token=pad)
+
+    args = (
+        jnp.asarray(feat)[None], jnp.asarray(pos)[None],
+        jnp.ones((1, N), bool), jnp.asarray(lap)[None],
+        jnp.asarray(tokens_np, jnp.int32),
+        jnp.asarray(feat2)[None], jnp.asarray(pos2)[None],
+        jnp.ones((1, N2), bool), jnp.asarray(lap2)[None],
+        jnp.asarray(prop_np),
+    )
+    with compute_dtype_scope(jnp.float64):
+        params = ours.init(jax.random.PRNGKey(0), *args)["params"]
+
+    def grouped_arr(tconv):
+        w = tconv.weight.detach().numpy()[:, :, 0]
+        out_pg = w.shape[0] // H
+        return w.reshape(H, out_pg, w.shape[1]).transpose(0, 2, 1)
+
+    def mlp_from(tseq):
+        return {"Linear_0": _lin_from(tseq[0]), "Linear_1": _lin_from(tseq[2])}
+
+    def dense_attn_from(a):
+        return {
+            "q_lin": grouped_arr(a.q_lin),
+            "k_lin": grouped_arr(a.k_lin),
+            "v_lin": grouped_arr(a.v_lin),
+            "weight_k_net": mlp_from(a.weight_k_net),
+            "weight_k_lin_kernel": a.weight_k_lin.weight.detach().numpy().T,
+            "weight_v_net": mlp_from(a.weight_v_net),
+            "weight_v_lin": _lin_from(a.weight_v_lin),
+            "centroid_lin": _lin_from(a.centroid_lin),
+            "out_transform": _lin_from(a.out_transform),
+            "layer_norm": _ln_from(a.layer_norm),
+        }
+
+    def ffn_from(f):
+        return {
+            "conv1": _conv1_from(f.conv1),
+            "conv2": _conv1_from(f.conv2),
+            "layer_norm": _ln_from(f.layer_norm),
+        }
+
+    # encoder 1: scanned layers -> stack along axis 0
+    stacked = {}
+    per_layer = [
+        {"enc_self_attn": dense_attn_from(tl.enc_self_attn),
+         "pos_ffn": ffn_from(tl.pos_ffn)}
+        for tl in ref.encoder.layers
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *per_layer)
+    enc1_params = {
+        "protein_atom_emb": _lin_from(ref.encoder.protein_atom_emb),
+        "laplacian_emb": _lin_from(ref.encoder.laplacian_emb),
+        "layers": {"layer": stacked},
+    }
+    enc2_params = {
+        "aa_emb": _lin_from(ref.encoder2.aa_emb),
+        "laplacian_emb": _lin_from(ref.encoder2.laplacian_emb),
+    }
+    for i, tl in enumerate(ref.encoder2.layers):
+        enc2_params[f"layer_{i}_attn"] = dense_attn_from(tl.enc_self_attn)
+        enc2_params[f"layer_{i}_ffn"] = ffn_from(tl.pos_ffn)
+        if i in (2, 5):
+            enc2_params[f"layer_{i}_proj"] = _lin_from(tl.proj)
+            x2 = tl.cross_attn
+            enc2_params[f"layer_{i}_cross"] = {
+                "W_Q": _lin_from(x2.W_Q), "W_K": _lin_from(x2.W_K),
+                "W_V": _lin_from(x2.W_V), "linear": _lin_from(x2.linear),
+                "layer_norm": _ln_from(x2.layer_norm),
+            }
+            enc2_params[f"layer_{i}_norm"] = _ln_from(tl.layer_norm)
+    dec_params = {
+        "mol_emb": {"embedding": ref.decoder.mol_emb.weight.detach().numpy()},
+        "type_emb": {"embedding": ref.decoder.type_emb.weight.detach().numpy()},
+        "prop_nn": _lin_from(ref.decoder.prop_nn),
+    }
+    for i, tl in enumerate(ref.decoder.layers):
+        dec_params[f"layer_{i}"] = {
+            "dec_self_attn": _mha_from(tl.dec_self_attn),
+            "dec_enc_attn": _mha_from(tl.dec_enc_attn),
+            "pos_ffn": ffn_from(tl.pos_ffn),
+        }
+    mapped = {
+        "encoder": enc1_params,
+        "encoder2": enc2_params,
+        "decoder": dec_params,
+        "projection": {
+            "Dense_0": {"kernel": ref.projection.weight.detach().numpy().T}
+        },
+    }
+    mapped = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64), mapped)
+    chex.assert_trees_all_equal_structs(mapped, params)
+    with compute_dtype_scope(jnp.float64):
+        got = ours.apply({"params": mapped}, *args)
+    # 1e-6: fp64 association noise through the 14-layer composition
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
