@@ -26,9 +26,13 @@ is not exactly gauge-invariant, so the reference's own block output varies
 run-to-run. Every deterministic constituent IS anchored here (Wigner,
 coefficient mapping, SO2_m/SO2 convolution incl. radial + extra-m0,
 RadialFunction, SO3_LinearV2, all three equivariant norms, Gate/S2/sep-S2
-activations, and the full CProMG decoder/graph-attention stacks); the
-block-level composition is covered by rotation-equivariance and gauge tests
-(tests/test_equivariant_layers.py) at 1e-5.
+activations, EdgeDegreeEmbedding via its basis-invariant content), and the
+ENTIRE CProMG transformer is anchored end-to-end on the real 7cff complex
+(encoder with its kNN/undirected/smearing/Laplacian graph chain, second
+encoder with cross-attention, decoder incl. real token tensors, vocab
+projection). The equivariant block-level composition is covered by
+rotation-equivariance and gauge tests (tests/test_equivariant_layers.py)
+at 1e-5.
 """
 from __future__ import annotations
 
