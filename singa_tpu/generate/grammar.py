@@ -123,11 +123,11 @@ def _build_tables():
     return cls, cap, order, digit
 
 
-_CLS_NP, _CAP_NP, _ORD_NP, _DIG_NP = _build_tables()
-TOKEN_CLASS = jnp.asarray(_CLS_NP)
-ATOM_CAPACITY = jnp.asarray(_CAP_NP)
-BOND_ORDER = jnp.asarray(_ORD_NP)
-RING_DIGIT = jnp.asarray(_DIG_NP)
+# Kept as NUMPY at module level: this module is imported lazily from inside
+# jitted functions (train/gan.py sample_sequences), and jnp.asarray at import
+# time would then create leaked tracers. jnp conversion happens per-use
+# below (a free constant inside jit).
+TOKEN_CLASS, ATOM_CAPACITY, BOND_ORDER, RING_DIGIT = _build_tables()
 
 
 class GrammarState(NamedTuple):
@@ -159,14 +159,15 @@ def allowed_tokens(state: GrammarState, allow_dot: bool = True) -> jax.Array:
     pend = state.pending[..., None]
     eff = jnp.maximum(pend, 1)  # bond order the next atom/digit would consume
 
-    cls = TOKEN_CLASS  # [V]
+    cls = jnp.asarray(TOKEN_CLASS)  # [V]
     after_atomish = (last == ATOM) | (last == DIGIT) | (last == CLOSE)
     has_attach = cur > NONE_VAL // 2
 
     # ATOM: syntactically everywhere except after EOS; valence-checked when
     # bonding to an existing attachment atom.
+    cap_t = jnp.asarray(ATOM_CAPACITY)
     ok_atom = (cls == ATOM) & (
-        ~has_attach | ((cur >= eff) & (ATOM_CAPACITY >= eff))
+        ~has_attach | ((cur >= eff) & (cap_t >= eff))
     ) & (last != EOS) & (last != PAD)
 
     # BOND: after an atom / ring digit / branch close / branch open (C(=O)),
@@ -175,7 +176,7 @@ def allowed_tokens(state: GrammarState, allow_dot: bool = True) -> jax.Array:
         (cls == BOND)
         & (after_atomish | (last == OPEN))
         & (pend == 0)
-        & (cur >= BOND_ORDER)
+        & (cur >= jnp.asarray(BOND_ORDER))
     )
 
     # OPEN: branch off an atom with spare valence.
@@ -191,7 +192,7 @@ def allowed_tokens(state: GrammarState, allow_dot: bool = True) -> jax.Array:
     ok_close = (cls == CLOSE) & (depth > 0) & after_atomish & (pend == 0)
 
     # DIGIT: ring open/close on the current atom.
-    bit = jnp.where(cls == DIGIT, 1 << jnp.maximum(RING_DIGIT - 1, 0), 0)
+    bit = jnp.where(cls == DIGIT, 1 << jnp.maximum(jnp.asarray(RING_DIGIT) - 1, 0), 0)
     is_open = (rings & bit) > 0
     ok_digit = (cls == DIGIT) & ((last == ATOM) | (last == DIGIT) | (last == BOND)) & (
         cur >= eff
@@ -219,10 +220,10 @@ def allowed_tokens(state: GrammarState, allow_dot: bool = True) -> jax.Array:
 
 def update(state: GrammarState, tok: jax.Array) -> GrammarState:
     """Advance the grammar state by one sampled token (shape = state shape)."""
-    cls = TOKEN_CLASS[tok]
-    cap = ATOM_CAPACITY[tok]
-    order = BOND_ORDER[tok]
-    dig = RING_DIGIT[tok]
+    cls = jnp.asarray(TOKEN_CLASS)[tok]
+    cap = jnp.asarray(ATOM_CAPACITY)[tok]
+    order = jnp.asarray(BOND_ORDER)[tok]
+    dig = jnp.asarray(RING_DIGIT)[tok]
     eff = jnp.maximum(state.pending, 1)
 
     is_atom = cls == ATOM
