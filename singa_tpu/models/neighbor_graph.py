@@ -98,6 +98,15 @@ def _force_fused_attn() -> bool:
     return bool(os.environ.get("SINGA_TPU_FORCE_FUSED_ATTN"))
 
 
+def _hybrid_attn() -> bool:
+    """Select the hybrid kernel (XLA DMA gathers outside, pair math in VMEM —
+    ops/pallas/neighbor_attn.py) instead of the all-in-kernel fused form."""
+    import os
+
+    # default OFF until measured faster on hardware (flip after bench)
+    return os.environ.get("SINGA_TPU_HYBRID_ATTN", "0") not in ("0", "")
+
+
 class NeighborGraphMHA(nn.Module):
     """Drop-in gather-form equivalent of DenseGraphMHA (same params)."""
 
@@ -150,8 +159,14 @@ class NeighborGraphMHA(nn.Module):
 
         if _use_pallas() or _force_fused_attn():
             # fused kernel: smear + both EdgeMLPs + one-hot gathers + softmax
-            # + aggregate in VMEM (ops/pallas/neighbor_attn.py)
-            from singa_tpu.ops.pallas.neighbor_attn import neighbor_attn_fused
+            # + aggregate in VMEM (ops/pallas/neighbor_attn.py); hybrid form
+            # moves the gathers to XLA DMA outside the kernel
+            from singa_tpu.ops.pallas.neighbor_attn import (
+                neighbor_attn_fused,
+                neighbor_attn_hybrid,
+            )
+
+            attn_fn = neighbor_attn_hybrid if _hybrid_attn() else neighbor_attn_fused
 
             p = self.variables["params"]
             ek = p["weight_k_net"]
@@ -162,7 +177,7 @@ class NeighborGraphMHA(nn.Module):
                 0.0, self.smear_stop, self.edge_channels, dtype=jnp.float32
             )
             diag_value = (w_v_diag[:, :, None, :] * v).reshape(B, N, H * vd)
-            agg = neighbor_attn_fused(
+            agg = attn_fn(
                 q_tilde.reshape(B, N, H * kd),
                 k.reshape(B, N, H * kd),
                 v.reshape(B, N, H * vd),

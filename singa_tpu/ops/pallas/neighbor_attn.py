@@ -89,25 +89,38 @@ def _head_mats(H, d):
 
 
 def _attn_fwd_kernel(
-    K, H, kd, vd, coeff,
-    qt_ref, k_ref, v_ref, nbr_ref, msk_ref, dist_ref, ds_ref, dv_ref,
-    centers_ref, wk1_ref, bk1_ref, wk2_ref, bk2_ref,
-    wv1_ref, bv1_ref, wv2_ref, bv2_ref,
-    segk_ref, tilk_ref, segv_ref, tilv_ref,
-    out_ref,
+    K, H, kd, vd, coeff, gathered,
+    *refs,
 ):
-    dt = k_ref.dtype
+    if gathered:
+        # hybrid form: neighbour rows pre-gathered outside the kernel (XLA
+        # row gather, DMA-bound) — no O(TI*K*N) one-hot matmuls in forward
+        (qt_ref, knb_ref, vnb_ref, msk_ref, dist_ref, ds_ref, dv_ref,
+         centers_ref, wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+         wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+         segk_ref, tilk_ref, segv_ref, tilv_ref, out_ref) = refs
+        dt = knb_ref.dtype
+    else:
+        (qt_ref, k_ref, v_ref, nbr_ref, msk_ref, dist_ref, ds_ref, dv_ref,
+         centers_ref, wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+         wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+         segk_ref, tilk_ref, segv_ref, tilv_ref, out_ref) = refs
+        dt = k_ref.dtype
     TI = qt_ref.shape[0]
-    N = k_ref.shape[0]
     seg_k, tile_k = segk_ref[:].astype(dt), tilk_ref[:].astype(dt)
     seg_v, tile_v = segv_ref[:].astype(dt), tilv_ref[:].astype(dt)
 
-    onehot = (
-        nbr_ref[:][:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (TI, K, N), 2)
-    ).astype(dt)
-    k_nb = _mm3(onehot, k_ref[:])  # [TI, K, H*kd] f32
-    v_nb = _mm3(onehot, v_ref[:])  # [TI, K, H*vd] f32
+    if gathered:
+        k_nb = knb_ref[:].astype(jnp.float32)  # [TI, K, H*kd]
+        v_nb = vnb_ref[:].astype(jnp.float32)  # [TI, K, H*vd]
+    else:
+        N = k_ref.shape[0]
+        onehot = (
+            nbr_ref[:][:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (TI, K, N), 2)
+        ).astype(dt)
+        k_nb = _mm3(onehot, k_ref[:])  # [TI, K, H*kd] f32
+        v_nb = _mm3(onehot, v_ref[:])  # [TI, K, H*vd] f32
 
     e2 = _smear_neg(dist_ref[:], centers_ref[:], coeff, dt)  # [TI, K, De]
     _, w_k = _edge_mlp(e2, wk1_ref[:], bk1_ref[:], wk2_ref[:], bk2_ref[:], dt)
@@ -138,15 +151,30 @@ def _attn_fwd_kernel(
 
 
 def _attn_bwd_kernel(
-    K, H, kd, vd, coeff,
-    qt_ref, k_ref, v_ref, nbr_ref, msk_ref, dist_ref, ds_ref, dv_ref,
-    centers_ref, wk1_ref, bk1_ref, wk2_ref, bk2_ref,
-    wv1_ref, bv1_ref, wv2_ref, bv2_ref,
-    segk_ref, tilk_ref, segv_ref, tilv_ref, g_ref,
-    dqt_ref, dk_ref, dv_all_ref, dds_ref, ddv_ref,
-    dwk1_ref, dbk1_ref, dwk2_ref, dbk2_ref,
-    dwv1_ref, dbv1_ref, dwv2_ref, dbv2_ref,
+    K, H, kd, vd, coeff, gathered,
+    *refs,
 ):
+    if gathered:
+        # hybrid: neighbour rows re-gathered outside; nbr still feeds the
+        # one-hot TRANSPOSE for the dk/dv scatter (exact, MXU-ridden)
+        (qt_ref, knb_ref, vnb_ref, nbr_ref, msk_ref, dist_ref, ds_ref,
+         dv_ref,
+         centers_ref, wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+         wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+         segk_ref, tilk_ref, segv_ref, tilv_ref, g_ref,
+         dqt_ref, dk_ref, dv_all_ref, dds_ref, ddv_ref,
+         dwk1_ref, dbk1_ref, dwk2_ref, dbk2_ref,
+         dwv1_ref, dbv1_ref, dwv2_ref, dbv2_ref) = refs
+        dt = knb_ref.dtype
+    else:
+        (qt_ref, k_ref, v_ref, nbr_ref, msk_ref, dist_ref, ds_ref, dv_ref,
+         centers_ref, wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+         wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+         segk_ref, tilk_ref, segv_ref, tilv_ref, g_ref,
+         dqt_ref, dk_ref, dv_all_ref, dds_ref, ddv_ref,
+         dwk1_ref, dbk1_ref, dwk2_ref, dbk2_ref,
+         dwv1_ref, dbv1_ref, dwv2_ref, dbv2_ref) = refs
+        dt = k_ref.dtype
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _init_w():
         for r in (dwk1_ref, dbk1_ref, dwk2_ref, dbk2_ref,
@@ -158,9 +186,8 @@ def _attn_bwd_kernel(
         dk_ref[:] = jnp.zeros_like(dk_ref)
         dv_all_ref[:] = jnp.zeros_like(dv_all_ref)
 
-    dt = k_ref.dtype
     TI = qt_ref.shape[0]
-    N = k_ref.shape[0]
+    N = dk_ref.shape[0]
     seg_k, tile_k = segk_ref[:].astype(dt), tilk_ref[:].astype(dt)
     seg_v, tile_v = segv_ref[:].astype(dt), tilv_ref[:].astype(dt)
 
@@ -169,8 +196,12 @@ def _attn_bwd_kernel(
         nbr_ref[:][:, :, None]
         == jax.lax.broadcasted_iota(jnp.int32, (TI, K, N), 2)
     ).astype(dt)
-    k_nb = _mm3(onehot, k_ref[:])
-    v_nb = _mm3(onehot, v_ref[:])
+    if gathered:
+        k_nb = knb_ref[:].astype(jnp.float32)
+        v_nb = vnb_ref[:].astype(jnp.float32)
+    else:
+        k_nb = _mm3(onehot, k_ref[:])
+        v_nb = _mm3(onehot, v_ref[:])
     e2 = _smear_neg(dist_ref[:], centers_ref[:], coeff, dt)
     pre_k, w_k = _edge_mlp(e2, wk1_ref[:], bk1_ref[:], wk2_ref[:], bk2_ref[:], dt)
     pre_v, w_v = _edge_mlp(e2, wv1_ref[:], bv1_ref[:], wv2_ref[:], bv2_ref[:], dt)
@@ -282,7 +313,7 @@ def neighbor_attn_fused(
     TI = _ti(N)
     grid = (B, N // TI)
     tile, per_b, full = _specs(N, TI, K, H, kd, vd)
-    kern = functools.partial(_attn_fwd_kernel, K, H, kd, vd, coeff)
+    kern = functools.partial(_attn_fwd_kernel, K, H, kd, vd, coeff, False)
     sk, tk = _head_mats(H, kd)
     sv, tv = _head_mats(H, vd)
     segk, tilk = jnp.asarray(sk), jnp.asarray(tk)
@@ -344,7 +375,7 @@ def _bwd(coeff, interpret, res, g):
         acc(wk1), acc(bk1), acc(wk2), acc(bk2),
         acc(wv1), acc(bv1), acc(wv2), acc(bv2),
     ]
-    kern = functools.partial(_attn_bwd_kernel, K, H, kd, vd, coeff)
+    kern = functools.partial(_attn_bwd_kernel, K, H, kd, vd, coeff, False)
     sk, tk = _head_mats(H, kd)
     sv, tv = _head_mats(H, vd)
     segk, tilk = jnp.asarray(sk), jnp.asarray(tk)
@@ -381,3 +412,165 @@ def _bwd(coeff, interpret, res, g):
 
 
 neighbor_attn_fused.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid form: XLA row-gathers OUTSIDE the kernel, pair math + softmax inside.
+#
+# The fused kernel's one-hot gathers execute O(B*N*K*N*(Hkd+Hvd)) matmul FLOPs
+# — ~55% of its executed work at the flagship shapes (DESIGN.md round 3).
+# Here the forward gathers k_nb/v_nb with jnp.take_along_axis (a row gather
+# the TPU serves from HBM at DMA bandwidth, ~900 MB/layer), the kernel keeps
+# every [TI, K, *] pair intermediate in VMEM, and only the backward dk/dv
+# SCATTER (which has no DMA equivalent) stays a one-hot-transpose matmul.
+# ---------------------------------------------------------------------------
+
+
+def _gather_rows(t: jax.Array, nbr: jax.Array) -> jax.Array:
+    """[B, N, F] gathered by [B, N, K] graph-local indices -> [B, N, K, F]."""
+    B, N, F = t.shape
+    K = nbr.shape[2]
+    idx = nbr.reshape(B, N * K)
+    out = jnp.take_along_axis(t, idx[..., None], axis=1)
+    return out.reshape(B, N, K, F)
+
+
+def _hybrid_pallas_fwd(qt, k_nb, v_nb, nbr_mask, dist, diag_scores, diag_value,
+                       centers, wk1, bk1, wk2, bk2, wv1, bv1, wv2, bv2,
+                       coeff, interpret, N):
+    B = qt.shape[0]
+    K = k_nb.shape[2]
+    H = diag_scores.shape[2]
+    kd = qt.shape[2] // H
+    vd = v_nb.shape[3] // H
+    TI = _ti(N)
+    nt = N // TI
+    grid = (B, nt)
+    tile, per_b, full = _specs(N, TI, K, H, kd, vd)
+    tile3 = lambda w: pl.BlockSpec(
+        (TI, K, w), lambda b, i: (b * nt + i, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(_attn_fwd_kernel, K, H, kd, vd, coeff, True)
+    sk, tk = _head_mats(H, kd)
+    sv, tv = _head_mats(H, vd)
+    segk, tilk = jnp.asarray(sk), jnp.asarray(tk)
+    segv, tilv = jnp.asarray(sv), jnp.asarray(tv)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B * N, H * vd), qt.dtype),
+        grid=grid,
+        in_specs=[
+            tile(H * kd), tile3(H * kd), tile3(H * vd),
+            tile(K), tile(K), tile(H), tile(H * vd),
+            full(centers), full(wk1), full(bk1), full(wk2), full(bk2),
+            full(wv1), full(bv1), full(wv2), full(bv2),
+            full(segk), full(tilk), full(segv), full(tilv),
+        ],
+        out_specs=tile(H * vd),
+        interpret=interpret,
+    )(
+        _flat(qt), k_nb.reshape(B * N, K, -1), v_nb.reshape(B * N, K, -1),
+        _flat(nbr_mask.astype(jnp.int32)), _flat(dist),
+        _flat(diag_scores), _flat(diag_value),
+        centers, wk1, bk1, wk2, bk2, wv1, bv1, wv2, bv2,
+        segk, tilk, segv, tilv,
+    )
+    return out.reshape(B, N, H * vd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18))
+def neighbor_attn_hybrid(
+    qt, k, v, nbr, nbr_mask, dist, diag_scores, diag_value,
+    centers, wk1, bk1, wk2, bk2, wv1, bv1, wv2, bv2,
+    coeff, interpret=False,
+):
+    """Same contract as neighbor_attn_fused; gathers ride XLA DMA instead of
+    one-hot MXU matmuls (forward AND the backward recompute)."""
+    k_nb = _gather_rows(k, nbr)
+    v_nb = _gather_rows(v, nbr)
+    return _hybrid_pallas_fwd(
+        qt, k_nb, v_nb, nbr_mask, dist, diag_scores, diag_value,
+        centers, wk1, bk1, wk2, bk2, wv1, bv1, wv2, bv2,
+        coeff, interpret, k.shape[1],
+    )
+
+
+def _fwd_h(qt, k, v, nbr, nbr_mask, dist, diag_scores, diag_value,
+           centers, wk1, bk1, wk2, bk2, wv1, bv1, wv2, bv2, coeff, interpret):
+    out = neighbor_attn_hybrid(
+        qt, k, v, nbr, nbr_mask, dist, diag_scores, diag_value,
+        centers, wk1, bk1, wk2, bk2, wv1, bv1, wv2, bv2, coeff, interpret,
+    )
+    return out, (qt, k, v, nbr, nbr_mask, dist, diag_scores, diag_value,
+                 centers, wk1, bk1, wk2, bk2, wv1, bv1, wv2, bv2)
+
+
+def _bwd_h(coeff, interpret, res, g):
+    (qt, k, v, nbr, nbr_mask, dist, diag_scores, diag_value,
+     centers, wk1, bk1, wk2, bk2, wv1, bv1, wv2, bv2) = res
+    B, N, HK = qt.shape
+    K = nbr.shape[2]
+    H = diag_scores.shape[2]
+    kd = HK // H
+    vd = v.shape[2] // H
+    # re-gather (cheap DMA) instead of keeping the [B, N, K, *] pair tensors
+    # resident between fwd and bwd (~450 MB/layer at flagship shapes)
+    k_nb = _gather_rows(k, nbr).reshape(B * N, K, -1)
+    v_nb = _gather_rows(v, nbr).reshape(B * N, K, -1)
+    TI = _ti(N, bwd=True)
+    nt = N // TI
+    grid = (B, nt)
+    tile, per_b, full = _specs(N, TI, K, H, kd, vd)
+    tile3 = lambda w: pl.BlockSpec(
+        (TI, K, w), lambda b, i: (b * nt + i, 0, 0), memory_space=pltpu.VMEM
+    )
+    acc = lambda a: (
+        jax.ShapeDtypeStruct(a.shape, jnp.float32),
+        pl.BlockSpec(a.shape, lambda b, i: (0,) * a.ndim, memory_space=pltpu.VMEM),
+    )
+    outs = [
+        (jax.ShapeDtypeStruct((B * N, H * kd), qt.dtype), tile(H * kd)),  # dqt
+        (jax.ShapeDtypeStruct((B * N, H * kd), jnp.float32), per_b(H * kd)),  # dk
+        (jax.ShapeDtypeStruct((B * N, H * vd), jnp.float32), per_b(H * vd)),  # dv
+        (jax.ShapeDtypeStruct((B * N, H), diag_scores.dtype), tile(H)),
+        (jax.ShapeDtypeStruct((B * N, H * vd), diag_value.dtype), tile(H * vd)),
+        acc(wk1), acc(bk1), acc(wk2), acc(bk2),
+        acc(wv1), acc(bv1), acc(wv2), acc(bv2),
+    ]
+    kern = functools.partial(_attn_bwd_kernel, K, H, kd, vd, coeff, True)
+    sk, tk = _head_mats(H, kd)
+    sv, tv = _head_mats(H, vd)
+    segk, tilk = jnp.asarray(sk), jnp.asarray(tk)
+    segv, tilv = jnp.asarray(sv), jnp.asarray(tv)
+    (dqt, dk, dv, dds, ddv, dwk1, dbk1, dwk2, dbk2,
+     dwv1, dbv1, dwv2, dbv2) = pl.pallas_call(
+        kern,
+        out_shape=tuple(o[0] for o in outs),
+        grid=grid,
+        in_specs=[
+            tile(H * kd), tile3(H * kd), tile3(H * vd),
+            tile(K), tile(K), tile(K), tile(H), tile(H * vd),
+            full(centers), full(wk1), full(bk1), full(wk2), full(bk2),
+            full(wv1), full(bv1), full(wv2), full(bv2),
+            full(segk), full(tilk), full(segv), full(tilv), tile(H * vd),
+        ],
+        out_specs=tuple(o[1] for o in outs),
+        interpret=interpret,
+    )(
+        _flat(qt), k_nb, v_nb, _flat(nbr),
+        _flat(nbr_mask.astype(jnp.int32)), _flat(dist),
+        _flat(diag_scores), _flat(diag_value),
+        centers, wk1, bk1, wk2, bk2, wv1, bv1, wv2, bv2,
+        segk, tilk, segv, tilv, _flat(g),
+    )
+    c = lambda a, p: a.astype(p.dtype)
+    sh = lambda a, proto: a.reshape(proto.shape)
+    return (
+        sh(dqt, qt), sh(c(dk, k), k), sh(c(dv, v), v), None, None, None,
+        sh(dds, diag_scores), sh(ddv, diag_value),
+        None, c(dwk1, wk1), c(dbk1, bk1), c(dwk2, wk2), c(dbk2, bk2),
+        c(dwv1, wv1), c(dbv1, bv1), c(dwv2, wv2), c(dbv2, bv2),
+    )
+
+
+neighbor_attn_hybrid.defvjp(_fwd_h, _bwd_h)

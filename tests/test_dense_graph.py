@@ -152,3 +152,53 @@ def test_fused_neighbor_attn_matches_xla(monkeypatch):
             np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_hybrid_neighbor_attn_matches_xla(monkeypatch):
+    """The HYBRID Pallas kernel (XLA row-gathers outside, pair math in VMEM)
+    matches the XLA path of NeighborGraphMHA, forward and gradients."""
+    from singa_tpu.models.neighbor_graph import (
+        NeighborGraphMHA,
+        build_neighbor_graph,
+    )
+
+    x, pos, mask, _, _, _, _, _, dp, _ = _setup()
+    nb = NeighborGraphMHA(
+        hidden_channels=C, key_channels=16, num_heads=H,
+        edge_channels=EDGE_CH, smear_stop=SMEAR_STOP,
+    )
+    gn = build_neighbor_graph(pos, mask, K, SMEAR_STOP, EDGE_CH)
+    params = nb.init(jax.random.PRNGKey(5), x, gn)
+
+    out_xla = nb.apply(params, x, gn)
+    monkeypatch.setenv("SINGA_TPU_FORCE_FUSED_ATTN", "1")
+    monkeypatch.setenv("SINGA_TPU_HYBRID_ATTN", "1")
+    out_hyb = nb.apply(params, x, gn)
+    np.testing.assert_allclose(
+        np.asarray(out_hyb), np.asarray(out_xla), atol=5e-5, rtol=1e-4
+    )
+
+    ct = jnp.asarray(
+        np.random.default_rng(9).normal(size=out_xla.shape).astype(np.float32)
+    )
+
+    def loss(p, hybrid):
+        if hybrid:
+            monkeypatch.setenv("SINGA_TPU_FORCE_FUSED_ATTN", "1")
+            monkeypatch.setenv("SINGA_TPU_HYBRID_ATTN", "1")
+        else:
+            monkeypatch.delenv("SINGA_TPU_FORCE_FUSED_ATTN", raising=False)
+            monkeypatch.delenv("SINGA_TPU_HYBRID_ATTN", raising=False)
+        return jnp.vdot(nb.apply(p, x, gn), ct)
+
+    monkeypatch.delenv("SINGA_TPU_FORCE_FUSED_ATTN", raising=False)
+    monkeypatch.delenv("SINGA_TPU_HYBRID_ATTN", raising=False)
+    g_xla = jax.grad(lambda p: loss(p, False))(params)
+    g_hyb = jax.grad(lambda p: loss(p, True))(params)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_xla)
+    flat_h = jax.tree_util.tree_leaves(g_hyb)
+    for (path, a), b in zip(flat_x, flat_h):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
