@@ -20,6 +20,10 @@ stage() {
 # 1) flagship single-chip throughput (the BENCH metric)
 stage bench_b32 2400 python bench.py 32
 
+# 1b) hybrid neighbor-attention kernel (XLA DMA gathers outside the kernel;
+#     flip the default in models/neighbor_graph.py if this wins)
+stage bench_b32_hybrid 2400 env SINGA_TPU_HYBRID_ATTN=1 python bench.py 32
+
 # 2) the reference's own headline recipe (lmax=4, batch 64)
 stage bench_b64_lmax4 2400 python bench.py 64 --lmax 4
 
