@@ -11,6 +11,7 @@ Usage: python bench.py [batch_size] [--profile DIR]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -189,7 +190,14 @@ def main():
     nb_sc = 2 * B * Np * K_nb * Hh * (kd + vd)
     nb_gather = 2 * B * Np * K_nb * Np * Hh * (kd + vd)
     nb_u = enc.num_interactions * 3 * (nb_mlp + nb_sc)
-    nb_p = enc.num_interactions * (3 * (nb_mlp + nb_sc) + 5 * nb_gather)
+    if os.environ.get("SINGA_TPU_HYBRID_ATTN", "0") not in ("0", ""):
+        # hybrid kernel: fwd gathers and the bwd re-gather ride XLA DMA
+        # (bandwidth, not FLOPs); the only one-hot matmuls left are the bwd
+        # dk/dv scatters — one nb_gather unit combined (dk kd-part + dv
+        # vd-part contract over the same [TI*K, Np] one-hot transpose)
+        nb_p = enc.num_interactions * (3 * (nb_mlp + nb_sc) + nb_gather)
+    else:
+        nb_p = enc.num_interactions * (3 * (nb_mlp + nb_sc) + 5 * nb_gather)
     useful_flops = xla_flops + ffn_u + s2_u + nb_u
     impl_flops = xla_flops + ffn_p + s2_u + nb_p
     step_flops = useful_flops
