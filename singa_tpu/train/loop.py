@@ -18,6 +18,11 @@ import signal
 import time
 from typing import Optional
 
+# persistent compile cache: XLA CPU compiles of flagship shapes take tens of
+# minutes on the 1-core build box; TPU first-compile is ~3 min
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
