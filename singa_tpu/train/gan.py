@@ -22,7 +22,11 @@ CLI: ``python -m singa_tpu.train.gan --synthetic --rounds 20``.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Optional
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import jax
 import jax.numpy as jnp
