@@ -81,12 +81,17 @@ class NpzDataset:
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
-        return len(self.files) // self.batch_size
+        return max(1, len(self.files) // self.batch_size)
 
     def epoch(self) -> Iterator[ComplexBatch]:
         order = np.arange(len(self.files))
         if self.shuffle:
             self.rng.shuffle(order)
+        # datasets smaller than one batch (e.g. the bundled reference
+        # complexes used as the overfit anchor) upsample with replacement to
+        # a single full batch — static shapes require every batch at exactly
+        # batch_size, and an empty epoch would otherwise spin forever
+        order = _upsample(order, self.batch_size, self.rng)
         for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
             chunk = [dict(np.load(self.files[i])) for i in order[start : start + self.batch_size]]
             yield _stack(chunk)
@@ -94,6 +99,15 @@ class NpzDataset:
     def __iter__(self):
         while True:
             yield from self.epoch()
+
+
+def _upsample(order: np.ndarray, batch_size: int, rng) -> np.ndarray:
+    """Pad a (shuffled) index/path array to at least one full batch by
+    sampling existing entries with replacement. No-op when already full."""
+    if len(order) >= batch_size:
+        return order
+    extra = rng.choice(order, size=batch_size - len(order), replace=True)
+    return np.concatenate([order, extra])
 
 
 class BucketedNpzDataset:
@@ -123,14 +137,16 @@ class BucketedNpzDataset:
         self.buckets: dict[tuple, list[str]] = {}
         for path in files:
             with np.load(path) as z:
-                sig = (z["protein.x"].shape[0], z["pp.index"].shape[1])
+                # bucket signature: node capacity + edge capacity (edge index
+                # is stored [E, 2], so the count is axis 0)
+                sig = (z["protein.x"].shape[0], z["pp.index"].shape[0])
             self.buckets.setdefault(sig, []).append(path)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
-        return sum(len(v) // self.batch_size for v in self.buckets.values())
+        return sum(max(1, len(v) // self.batch_size) for v in self.buckets.values())
 
     def epoch(self) -> Iterator[ComplexBatch]:
         # one shuffled queue of homogeneous batches across all buckets
@@ -139,6 +155,9 @@ class BucketedNpzDataset:
             order = np.array(self.buckets[sig], dtype=object)
             if self.shuffle:
                 self.rng.shuffle(order)
+            # buckets smaller than one batch upsample with replacement (see
+            # NpzDataset.epoch) — every complex still trains each epoch
+            order = _upsample(order, self.batch_size, self.rng)
             for s in range(0, len(order) - self.batch_size + 1, self.batch_size):
                 plans.append(list(order[s : s + self.batch_size]))
         if self.shuffle:

@@ -154,3 +154,40 @@ def test_bucketed_dataset_two_shapes_train(tmp_path):
             trainer.params, trainer.opt_state, b
         )
         assert np.isfinite(float(loss))
+
+
+def test_dataset_smaller_than_batch_upsamples(tmp_path):
+    """Datasets/buckets with fewer complexes than batch_size upsample with
+    replacement to one full batch per epoch. Regression: every bucket below
+    batch_size used to yield an EMPTY epoch, and the endless __iter__ spun
+    forever (hung the real-data overfit run on the 4 bundled complexes)."""
+    from singa_tpu.data.dataset import (
+        BucketedNpzDataset,
+        NpzDataset,
+        save_complex,
+    )
+
+    cfg = tiny_config()
+    root = tmp_path / "ds" / "train"
+    os.makedirs(root)
+    for i in range(3):
+        save_complex(
+            str(root / f"c{i}.npz"), synthetic_batch(i, 1, cfg.shapes, TGT_LEN)
+        )
+
+    for ds in (
+        NpzDataset(str(root), batch_size=4, seed=0),
+        BucketedNpzDataset(str(root), batch_size=4, seed=0),
+    ):
+        assert len(ds) == 1
+        batches = list(ds.epoch())
+        assert len(batches) == 1
+        assert batches[0].protein.x.shape[0] == 4
+        # endless iterator makes progress (used to hang before the first item)
+        it = iter(ds)
+        assert next(it).protein.x.shape[0] == 4
+
+    # bucket signature keys on the [E, 2] edge COUNT axis, not the pair axis
+    bd = BucketedNpzDataset(str(root), batch_size=4, seed=0)
+    (sig,) = bd.buckets.keys()
+    assert sig == (cfg.shapes.num_protein_nodes, cfg.shapes.num_pp_edges)
