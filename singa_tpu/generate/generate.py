@@ -86,12 +86,23 @@ def main(argv=None):
         help="add validity/QED/SA/logP/TPSA columns (host chem stack; the "
         "reference's gen.py CSV carries the molecules only)",
     )
+    ap.add_argument(
+        "--no-mask", action="store_true",
+        help="disable SMILES grammar/valence masking during decode "
+        "(the ablation baseline; masking is on by default)",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else Config()
     ckpt_cfg_path = os.path.join(os.path.dirname(args.checkpoint.rstrip("/")), "config.yml")
     if args.config is None and os.path.exists(ckpt_cfg_path):
         cfg = load_config(ckpt_cfg_path)
+    if args.no_mask:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, generate=dataclasses.replace(cfg.generate, grammar_mask=False)
+        )
 
     if args.input.endswith(".npz"):
         from singa_tpu.data.dataset import _stack

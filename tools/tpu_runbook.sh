@@ -41,6 +41,12 @@ stage gen_real 2400 python -m singa_tpu.generate.generate \
   --input data/ref_graphs_large/train/7cff.npz \
   --output "$OUT/real_mini_generated.csv" --props
 
+# 5b) same pocket+checkpoint, grammar mask OFF (ablation baseline)
+stage gen_real_nomask 2400 python -m singa_tpu.generate.generate \
+  --checkpoint "$OUT/real_mini/checkpoints" \
+  --input data/ref_graphs_large/train/7cff.npz \
+  --output "$OUT/real_mini_generated_nomask.csv" --props --no-mask
+
 # 6) generation quality, trained decoder, masked vs unmasked
 stage gen_mask 3600 python tools/bench_generate.py 32 --pretrain 200
 stage gen_nomask 3600 python tools/bench_generate.py 32 --pretrain 200 --no-mask
