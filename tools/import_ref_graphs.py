@@ -59,9 +59,18 @@ class _Stub(dict):
 
 class _U(pickle.Unpickler):
     def find_class(self, mod, name):
-        if mod.startswith("torch_geometric"):
+        if mod.startswith(("torch_geometric", "pandas")):
+            # pandas: the 2o98 pickle embeds pandas-1.x DataFrames (biopandas
+            # PDB tables) that fail to reconstruct under pandas 2; the
+            # converter never reads them, so carry them as opaque dicts
             return type(name, (_Stub,), {})
-        return super().find_class(mod, name)
+        try:
+            return super().find_class(mod, name)
+        except ModuleNotFoundError:
+            # e.g. pandas.core.indexes.numeric (removed in pandas 2.x) inside
+            # the 2o98 pickle; carry as an opaque dict — the converter only
+            # reads the tensor/scalar fields
+            return type(name, (_Stub,), {})
 
 
 class _PM:
@@ -71,7 +80,22 @@ class _PM:
 
 def load_ref_graph(path: str) -> dict:
     """Read one reference HeteroData pickle into plain numpy arrays."""
-    d = torch.load(path, map_location="cpu", pickle_module=_PM, weights_only=False)
+    try:
+        d = torch.load(path, map_location="cpu", pickle_module=_PM, weights_only=False)
+    except RuntimeError:
+        # 2o98_2o98.pkl is a PLAIN pickle (not torch.save) of the reference's
+        # v1 dict schema {name, vina_score, protein_feature, ligand_feature,
+        # interaction_fp/fl}: 79-dim features, no SMILES token targets — the
+        # predecessor format from utils/.prepare_data.py that the reference's
+        # CURRENT Featuriser/Data stack does not produce or consume. It has
+        # no CE target, so it cannot join the training contract.
+        with open(path, "rb") as f:
+            d = _U(f).load()
+        if isinstance(d, dict):
+            raise BucketOverflow(
+                f"{os.path.basename(path)} is the v1 pre-HeteroData schema "
+                "(no SMILES token targets); not convertible"
+            )
     dd = d.__dict__
     g = dd["_global_store"].__dict__["_mapping"]
     nodes = {
