@@ -20,6 +20,11 @@ from singa_tpu.config import EOS_TOKEN, PAD_TOKEN, SOS_TOKEN
 from singa_tpu.generate import grammar as _grammar
 
 NEG = -1e9
+# Finite demotion applied to a beam whose ONLY admissible token is the
+# grammar safety valve's forced EOS (invalid completion, e.g. an open ring
+# with exhausted valence): large enough that any naturally-finishable beam
+# outranks it, finite so it remains a last-resort hypothesis.
+FORCED_EOS_PENALTY = 25.0
 
 
 class BeamState(NamedTuple):
@@ -102,8 +107,11 @@ def beam_search(
         V = logits.shape[-1]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if grammar_mask:
-            ok = _grammar.allowed_tokens(state.gram, allow_dot=allow_dot)
+            ok, forced = _grammar.allowed_tokens(
+                state.gram, allow_dot=allow_dot, return_forced=True
+            )
             logp = jnp.where(ok.reshape(B * K, V), logp, NEG)
+            logp = logp - forced.reshape(B * K, 1) * FORCED_EOS_PENALTY
         cand = state.scores.reshape(B * K, 1) + logp  # [BK, V]
         cand = cand.reshape(B, K * V)
         top_scores, top_idx = jax.lax.top_k(cand, 2 * K)  # [B, 2K]
@@ -193,6 +201,12 @@ def beam_search(
     cl = state.cur_len.astype(jnp.float32)
     live_pen = state.scores / (cl**length_penalty)
     live_pen = jnp.where(state.done[:, None], NEG, live_pen)
+    if grammar_mask:
+        # a flushed beam with an open ring/branch/bond is known-invalid:
+        # demote it below any grammatically complete hypothesis
+        g = state.gram
+        incomplete = (g.rings != 0) | (g.depth != 0) | (g.pending != 0)
+        live_pen = live_pen - incomplete * FORCED_EOS_PENALTY
     all_scores = jnp.concatenate([state.fin_scores, live_pen], axis=1)
     all_tokens = jnp.concatenate([state.fin_tokens, state.tokens], axis=1)
     final_scores, sel = jax.lax.top_k(all_scores, K)

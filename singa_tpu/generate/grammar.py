@@ -26,6 +26,9 @@ State per beam (all int32 for TPU friendliness):
   cur_val   remaining valence of the current attachment atom (NONE if none)
   stack     [MAX_DEPTH] saved cur_val values of enclosing attachment atoms
   last      class of the previous token (SOS/ATOM/BOND/OPEN/CLOSE/DIGIT/DOT)
+  cur_atom  id of the current attachment atom (-1 none); atom_n the counter;
+  astack    [MAX_DEPTH] saved cur_atom per branch; ring_atom [9] the atom
+            that opened each ring digit (self-ring closures are pruned)
 """
 from __future__ import annotations
 
@@ -137,6 +140,10 @@ class GrammarState(NamedTuple):
     cur_val: jax.Array  # [...] int32, NONE_VAL = no attachment atom
     stack: jax.Array  # [..., MAX_DEPTH] int32
     last: jax.Array  # [...] int32 token class
+    cur_atom: jax.Array  # [...] int32 id of the attachment atom (-1 = none)
+    atom_n: jax.Array  # [...] int32 atoms emitted so far
+    astack: jax.Array  # [..., MAX_DEPTH] int32 saved cur_atom per branch
+    ring_atom: jax.Array  # [..., 9] int32 atom id that opened ring digit d
 
 
 def init_state(shape: tuple[int, ...]) -> GrammarState:
@@ -147,11 +154,21 @@ def init_state(shape: tuple[int, ...]) -> GrammarState:
         cur_val=jnp.full(shape, NONE_VAL, jnp.int32),
         stack=jnp.zeros(shape + (MAX_DEPTH,), jnp.int32),
         last=jnp.full(shape, SOS, jnp.int32),
+        cur_atom=jnp.full(shape, -1, jnp.int32),
+        atom_n=jnp.zeros(shape, jnp.int32),
+        astack=jnp.full(shape + (MAX_DEPTH,), -1, jnp.int32),
+        ring_atom=jnp.full(shape + (9,), -2, jnp.int32),
     )
 
 
-def allowed_tokens(state: GrammarState, allow_dot: bool = True) -> jax.Array:
-    """Boolean mask [..., V] of grammatically admissible next tokens."""
+def allowed_tokens(state: GrammarState, allow_dot: bool = True,
+                   return_forced: bool = False):
+    """Boolean mask [..., V] of grammatically admissible next tokens.
+
+    With ``return_forced=True`` also returns a [...] bool flag marking beams
+    where NOTHING was admissible and EOS was force-allowed by the safety
+    valve (such completions are invalid — e.g. an open ring with exhausted
+    valence); callers should demote them in ranking."""
     last = state.last[..., None]  # broadcast against the vocab axis
     depth = state.depth[..., None]
     rings = state.rings[..., None]
@@ -198,8 +215,13 @@ def allowed_tokens(state: GrammarState, allow_dot: bool = True) -> jax.Array:
         cur >= eff
     )
     # closing a ring right after a bond token is fine (C=1...); opening after
-    # a bond token is also legal SMILES (the order applies to the closure).
-    del is_open  # open/close share the same admissibility rule
+    # a bond token is also legal SMILES (the order applies to the closure) —
+    # open/close share the admissibility rule above, EXCEPT that a closure on
+    # the very atom that opened the digit (a self-ring, e.g. "C1=1" or "C11")
+    # is never valid SMILES and must be pruned.
+    didx = jnp.clip(jnp.asarray(RING_DIGIT) - 1, 0, 8)  # [V]
+    opener = jnp.take(state.ring_atom, didx, axis=-1)  # [..., V]
+    ok_digit = ok_digit & ~(is_open & (opener == state.cur_atom[..., None]))
 
     ok_dot = (
         (cls == DOT) & after_atomish & (depth == 0) & (pend == 0)
@@ -215,7 +237,10 @@ def allowed_tokens(state: GrammarState, allow_dot: bool = True) -> jax.Array:
     # the permissive approximations), fall back to EOS rather than NEG-inf
     # everything, which would poison the whole beam's log-probs.
     none_ok = ~jnp.any(allowed, axis=-1, keepdims=True)
-    return allowed | (none_ok & (cls == EOS))
+    out = allowed | (none_ok & (cls == EOS))
+    if return_forced:
+        return out, none_ok[..., 0]
+    return out
 
 
 def update(state: GrammarState, tok: jax.Array) -> GrammarState:
@@ -262,6 +287,28 @@ def update(state: GrammarState, tok: jax.Array) -> GrammarState:
 
     new_pending = jnp.where(is_bond, order, 0)
 
+    # attachment-atom identity (for the self-ring-closure rule): atoms take a
+    # fresh id; '(' saves / ')' restores it alongside the valence stack.
+    a_pushed = jnp.take_along_axis(state.astack, pop_idx[..., None], axis=-1)[..., 0]
+    new_astack = jnp.where(
+        is_open[..., None],
+        _scatter_set(state.astack, push_idx, state.cur_atom),
+        state.astack,
+    )
+    new_atom = jnp.where(is_atom, state.atom_n, state.cur_atom)
+    new_atom = jnp.where(is_close, a_pushed, new_atom)
+    new_atom = jnp.where(is_dot, -1, new_atom)
+    new_atom_n = state.atom_n + is_atom.astype(jnp.int32)
+
+    # record the opening atom of a freshly-opened ring digit
+    opening = is_digit & ((state.rings & bit) == 0)
+    slot = jax.nn.one_hot(jnp.clip(dig - 1, 0, 8), 9, dtype=jnp.int32)
+    new_ring_atom = jnp.where(
+        (opening[..., None] * slot) > 0,
+        state.cur_atom[..., None],
+        state.ring_atom,
+    )
+
     return GrammarState(
         depth=new_depth,
         rings=new_rings,
@@ -269,6 +316,10 @@ def update(state: GrammarState, tok: jax.Array) -> GrammarState:
         cur_val=new_cur,
         stack=new_stack,
         last=cls,
+        cur_atom=new_atom,
+        atom_n=new_atom_n,
+        astack=new_astack,
+        ring_atom=new_ring_atom,
     )
 
 

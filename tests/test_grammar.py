@@ -87,6 +87,9 @@ def test_valid_smiles_admitted(smi):
         ("C=", ")"),  # close right after a bond
         ("C=", "$"),  # EOS right after a bond
         ("C1CC", "$"),  # EOS with an open ring
+        ("C1", "1"),  # self-ring closure on the opening atom
+        ("C1=", "1"),  # ...also via a pending bond (the C1=1 beam bug)
+        ("C12", "2"),  # self-closure of a second digit on the same atom
         ("C(C", "$"),  # EOS with an open branch
         ("CF", "C"),  # bonded F has no free valence for a second bond
         ("CF", "("),  # ...nor a branch
@@ -133,6 +136,28 @@ def test_mask_never_all_false():
     assert bool(jnp.any(ok))
 
 
+def test_forced_eos_flagged():
+    # "C1=O" with allow_dot=False: ring 1 open, O's valence exhausted by the
+    # double bond -> nothing admissible -> safety-valve EOS, flagged forced.
+    state = grammar.init_state(())
+    for t in _ids("C1=O"):
+        state = grammar.update(state, jnp.asarray(t))
+    ok, forced = grammar.allowed_tokens(state, allow_dot=False, return_forced=True)
+    assert bool(forced)
+    assert bool(ok[EOS_TOKEN])
+    assert int(jnp.sum(ok)) == 1  # EOS is the only escape
+    # with '.' allowed the beam can continue a new fragment: not forced
+    ok2, forced2 = grammar.allowed_tokens(state, allow_dot=True, return_forced=True)
+    assert not bool(forced2)
+    # a naturally finishable state is never flagged
+    state3 = grammar.init_state(())
+    for t in _ids("CC"):
+        state3 = grammar.update(state3, jnp.asarray(t))
+    ok3, forced3 = grammar.allowed_tokens(state3, allow_dot=False, return_forced=True)
+    assert not bool(forced3)
+    assert bool(ok3[EOS_TOKEN])
+
+
 def test_masked_beam_search_emits_grammatical_tokens():
     """Beam search over RANDOM logits + grammar mask: every decoded sequence
     must replay through the grammar with every token admitted (the mask is
@@ -175,6 +200,49 @@ def test_masked_beam_search_emits_grammatical_tokens():
             if tid == EOS_TOKEN:
                 break
         assert int(seq[0]) == SOS_TOKEN
+
+
+def test_forced_eos_beams_demoted():
+    """Beams that finish only via the safety valve (or are flushed with an
+    open ring) carry the FORCED_EOS_PENALTY, so any natural completion
+    outranks them."""
+    import jax
+
+    from singa_tpu.generate.beam import FORCED_EOS_PENALTY, beam_search
+
+    V = len(SMI_VOCAB)
+    C, O, EQ, ONE = (SMI_VOCAB.index(t) for t in ("C", "O", "=", "1"))
+
+    # per-step preferred tokens steering every beam into the C1=O corner
+    prefs = np.zeros((6, V), np.float32)
+    prefs[1][C], prefs[1][O] = 5.0, 4.9
+    prefs[2][ONE] = 5.0
+    prefs[3][EQ] = 5.0
+    prefs[4][O] = 5.0
+    prefs[5][EOS_TOKEN] = 5.0
+    table = jnp.asarray(prefs)
+
+    def decode_fn(tokens, cur_len, cache):
+        row = table[jnp.minimum(cur_len, 5)]
+        return jnp.broadcast_to(row, (tokens.shape[0], V)), cache
+
+    _, scores = jax.jit(
+        lambda: beam_search(
+            decode_fn, batch_size=1, num_beams=2, max_length=8,
+            topk=2, grammar_mask=True, allow_dot=False,
+        )
+    )()
+    # every hypothesis ended through the valve: all scores sunk by >= penalty
+    assert float(jnp.max(scores)) < -FORCED_EOS_PENALTY / 2
+
+    # flush path: too-short max_length leaves the ring open at the end
+    _, scores2 = jax.jit(
+        lambda: beam_search(
+            decode_fn, batch_size=1, num_beams=2, max_length=4,
+            topk=1, grammar_mask=True, allow_dot=False,
+        )
+    )()
+    assert float(scores2[0, 0]) < -FORCED_EOS_PENALTY / 2
 
 
 def test_capacity_table_spot_values():
