@@ -87,9 +87,23 @@ def main(argv=None):
         "reference's gen.py CSV carries the molecules only)",
     )
     ap.add_argument(
+        "--prop", type=str, default=None,
+        help="property prefix override: comma-separated floats (e.g. "
+        "'0,0,1'), or 'from-input' to binarize the input complex's own "
+        "labels with the model thresholds (npz input only) — the right "
+        "conditioning for reconstruction/overfit checks; default is "
+        "config.generate.prop (the desired-properties vector)",
+    )
+    ap.add_argument(
         "--no-mask", action="store_true",
         help="disable SMILES grammar/valence masking during decode "
         "(the ablation baseline; masking is on by default)",
+    )
+    ap.add_argument(
+        "--allow-dot", action="store_true",
+        help="admit '.' under the grammar mask (multi-fragment outputs, e.g. "
+        "ligands with counter-ions like the bundled 7cff complex); default "
+        "masks it out so every output is one connected molecule",
     )
     args = ap.parse_args(argv)
 
@@ -97,11 +111,16 @@ def main(argv=None):
     ckpt_cfg_path = os.path.join(os.path.dirname(args.checkpoint.rstrip("/")), "config.yml")
     if args.config is None and os.path.exists(ckpt_cfg_path):
         cfg = load_config(ckpt_cfg_path)
-    if args.no_mask:
+    if args.no_mask or args.allow_dot:
         import dataclasses
 
         cfg = dataclasses.replace(
-            cfg, generate=dataclasses.replace(cfg.generate, grammar_mask=False)
+            cfg,
+            generate=dataclasses.replace(
+                cfg.generate,
+                grammar_mask=cfg.generate.grammar_mask and not args.no_mask,
+                allow_dot=cfg.generate.allow_dot or args.allow_dot,
+            ),
         )
 
     if args.input.endswith(".npz"):
@@ -123,7 +142,17 @@ def main(argv=None):
         raise FileNotFoundError(f"no checkpoint under {args.checkpoint}")
     _, params, _, _ = restored
 
-    smiles, scores = generate_for_pocket(model, params, batch, cfg)
+    prop_target = None
+    if args.prop == "from-input":
+        from singa_tpu.models.singa import binarize_props
+
+        prop_target = np.asarray(binarize_props(batch, cfg.model.props))[0]
+    elif args.prop:
+        prop_target = [float(x) for x in args.prop.split(",")]
+
+    smiles, scores = generate_for_pocket(
+        model, params, batch, cfg, prop_target=prop_target
+    )
     with open(args.output, "w", newline="") as f:
         w = csv.writer(f)
         if not args.props:

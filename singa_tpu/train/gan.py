@@ -10,18 +10,26 @@ capability as a first-class loop:
     on-device (SeqGAN-style);
   * graph discriminator = GINDiscriminatorDense over *molecular graphs*
     parsed back from the generated SMILES (the reference's intended
-    direction, vanilla/vanillaModel.py:144-180) — generated tokens round-trip
-    through singa_tpu.chem.smiles_parser on the host via jax.pure_callback;
-    supports plain BCE or WGAN-GP critics (BASELINE configs[3] names a WGAN
-    finetune);
+    direction, vanilla/vanillaModel.py:144-180); supports plain BCE or
+    WGAN-GP critics (BASELINE configs[3] names a WGAN finetune);
   * generator step: REINFORCE with (seq-D probability + graph-D probability +
     validity-gated chemistry reward) and a batch-mean baseline, masked past
     EOS. Invalid SMILES earn zero chemistry/graph reward (the validity gate).
+
+One adversarial round is three jitted segments around one explicit host round
+trip: (1) sample token sequences on device, (2) decode/parse/score them on
+the host (train/rewards.py — the axon TPU runtime has no jax.pure_callback,
+and one sampling pass can feed all three updates), (3) jitted D / graph-D /
+G updates consuming the host results as array inputs. The generator update
+recomputes the sampled sequences' log-probs teacher-forced (parallel over T)
+instead of differentiating through the sampling scan — identical value and
+gradient, since the parameters are unchanged between sampling and update.
 
 CLI: ``python -m singa_tpu.train.gan --synthetic --rounds 20``.
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Callable, NamedTuple, Optional
 
@@ -30,13 +38,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from singa_tpu.config import Config, EOS_TOKEN, PAD_TOKEN, SOS_TOKEN
 from singa_tpu.data.batch import ComplexBatch
 from singa_tpu.models.discriminator import GINDiscriminatorDense, SeqDiscriminator
 from singa_tpu.models.singa import SINGA, binarize_props
-from singa_tpu.train.rewards import chem_reward_fn, graph_batch_fn
+from singa_tpu.train.rewards import chem_reward_host, graph_batch_host
 
 
 class GANState(NamedTuple):
@@ -125,6 +134,51 @@ def sample_sequences(
     return tokens, logp_seq
 
 
+def sequence_logp(
+    model: SINGA,
+    g_params,
+    tokens: jax.Array,  # [B, T] sampled sequences (SOS first)
+    enc,
+    enc_pad,
+    prop,
+    grammar_mask: bool = False,
+    allow_dot: bool = False,
+) -> jax.Array:
+    """Per-sequence log-prob of sampled tokens under the current policy,
+    teacher-forced (one parallel decode over T instead of the sampling scan).
+
+    Matches ``sample_sequences``'s recorded log-probs exactly — value AND
+    gradient — as long as the parameters haven't changed since sampling,
+    which is how the REINFORCE step uses it. When ``grammar_mask`` is on the
+    grammar state machine is replayed over the sampled tokens so the
+    log-probs are those of the *masked* (on-policy) distribution.
+    """
+    from singa_tpu.generate import grammar as _grammar
+
+    B, T = tokens.shape
+    logits = model.apply(
+        g_params, tokens, enc, enc_pad, prop, method="decode_step"
+    ).astype(jnp.float32)  # [B, T, V]; position t-1 predicts tokens[t]
+    logits = logits[:, :-1]
+    if grammar_mask:
+
+        def replay(gram, tok):
+            ok = _grammar.allowed_tokens(gram, allow_dot=allow_dot)
+            return _grammar.update(gram, tok), ok
+
+        _, ok = jax.lax.scan(
+            replay, _grammar.init_state((B,)), tokens[:, 1:].T
+        )  # [T-1, B, V]
+        logits = jnp.where(ok.transpose(1, 0, 2), logits, -1e9)
+    logp_all = jax.nn.log_softmax(logits, axis=-1)
+    lp = jnp.take_along_axis(logp_all, tokens[:, 1:, None], axis=-1)[..., 0]
+    # a position is on-policy until (and including) the first EOS; the
+    # sampler emits forced PAD with zero log-prob afterwards
+    is_eos = tokens[:, 1:] == EOS_TOKEN
+    live = (jnp.cumsum(is_eos, axis=1) - is_eos) == 0
+    return jnp.sum(lp * live, axis=1)  # [B]
+
+
 class GANTrainer:
     def __init__(
         self,
@@ -149,9 +203,13 @@ class GANTrainer:
         if use_graph_disc:
             self.graph_disc = GINDiscriminatorDense()
             self.gd_optimizer = optax.adam(d_lr)
-            self._graphs = graph_batch_fn(config.shapes.num_ligand_nodes)
+            self._graphs_host = functools.partial(
+                graph_batch_host, n_max=config.shapes.num_ligand_nodes
+            )
+        # host fn np tokens [B, T] -> np rewards [B] (explicit host bridge;
+        # see module docstring)
         if extra_reward_fn == "chem":
-            extra_reward_fn = chem_reward_fn()
+            extra_reward_fn = chem_reward_host
         self.extra_reward_fn = extra_reward_fn
         self.temperature = temperature
         # SMILES grammar/valence masking during REINFORCE sampling
@@ -226,15 +284,18 @@ class GANTrainer:
             )
             return loss, acc
 
-        def d_step(state: GANState, batch: ComplexBatch, key):
-            enc, pad, prop = self._encode(state.g_params, batch)
-            fake, _ = sample_sequences(
-                model, state.g_params, enc, pad, prop, key, T, temp,
+        def sample(g_params, batch: ComplexBatch, key):
+            enc, pad, prop = self._encode(g_params, batch)
+            tokens, _ = sample_sequences(
+                model, g_params, enc, pad, prop, key, T, temp,
                 grammar_mask=self.grammar_mask,
             )
+            return tokens
+
+        def d_step(state: GANState, batch: ComplexBatch, fake_tokens):
             real = batch.tokens.target
             (loss, acc), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                state.d_params, real, fake
+                state.d_params, real, fake_tokens
             )
             updates, d_opt = self.d_optimizer.update(grads, state.d_opt, state.d_params)
             d_params = optax.apply_updates(state.d_params, updates)
@@ -282,17 +343,10 @@ class GANTrainer:
                              / jnp.maximum(fvalid.sum(), 1.0))
             return loss, acc
 
-        def gd_step(state: GANState, batch: ComplexBatch, key):
-            k1, k2 = jax.random.split(key)
-            enc, pad, prop = self._encode(state.g_params, batch)
-            fake_tokens, _ = sample_sequences(
-                model, state.g_params, enc, pad, prop, k1, T, temp,
-                grammar_mask=self.grammar_mask,
-            )
-            fake = self._graphs(fake_tokens)
+        def gd_step(state: GANState, batch: ComplexBatch, fake, key):
             real = self._real_graph(batch)
             (loss, acc), grads = jax.value_and_grad(gd_loss_fn, has_aux=True)(
-                state.gd_params, real, fake, k2
+                state.gd_params, real, fake, key
             )
             updates, gd_opt = self.gd_optimizer.update(
                 grads, state.gd_opt, state.gd_params
@@ -300,34 +354,34 @@ class GANTrainer:
             gd_params = optax.apply_updates(state.gd_params, updates)
             return state._replace(gd_params=gd_params, gd_opt=gd_opt), loss, acc
 
-        def g_loss_fn(g_params, d_params, gd_params, batch: ComplexBatch, key):
+        def g_loss_fn(g_params, d_params, gd_params, batch, tokens, chem_r, fake):
             enc, pad, prop = self._encode(g_params, batch)
-            tokens, logp = sample_sequences(
-                model, g_params, enc, pad, prop, key, T, temp,
+            seq_logp = sequence_logp(
+                model, g_params, tokens, enc, pad, prop,
                 grammar_mask=self.grammar_mask,
             )
             reward = jax.nn.sigmoid(disc.apply(d_params, tokens))
             valid = None
             if self.use_graph_disc and gd_params is not None:
-                fx, fmask, fadj, fvalid = self._graphs(tokens)
+                fx, fmask, fadj, fvalid = fake
                 g_score = jax.nn.sigmoid(
                     self.graph_disc.apply(gd_params, fx, fadj, fmask)
                 )
                 reward = reward + g_score * fvalid
                 valid = fvalid
-            if self.extra_reward_fn is not None:
-                reward = reward + self.extra_reward_fn(tokens)
+            if chem_r is not None:
+                reward = reward + chem_r
             baseline = jnp.mean(reward)
             advantage = jax.lax.stop_gradient(reward - baseline)
-            seq_logp = logp.sum(axis=1)
             loss = -jnp.mean(advantage * seq_logp)
             pct_valid = jnp.mean(valid) if valid is not None else jnp.nan
             return loss, (jnp.mean(reward), pct_valid)
 
-        def g_step(state: GANState, batch: ComplexBatch, key):
+        def g_step(state: GANState, batch: ComplexBatch, tokens, chem_r, fake):
             (loss, (reward, pct_valid)), grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True
-            )(state.g_params, state.d_params, state.gd_params, batch, key)
+            )(state.g_params, state.d_params, state.gd_params, batch, tokens,
+              chem_r, fake)
             updates, g_opt = self.g_optimizer.update(grads, state.g_opt, state.g_params)
             g_params = optax.apply_updates(state.g_params, updates)
             return (
@@ -337,25 +391,53 @@ class GANTrainer:
                 pct_valid,
             )
 
+        self.sample = jax.jit(sample)
         self.d_step = jax.jit(d_step)
         self.gd_step = jax.jit(gd_step) if self.use_graph_disc else None
         self.g_step = jax.jit(g_step)
 
+    def _host_bridge(self, tokens):
+        """Device tokens -> (np tokens, chem rewards, fake graph batch)."""
+        tokens_np = np.asarray(tokens)
+        chem_r = (
+            jnp.asarray(self.extra_reward_fn(tokens_np))
+            if self.extra_reward_fn is not None
+            else None
+        )
+        fake = self._graphs_host(tokens_np) if self.use_graph_disc else None
+        return chem_r, fake
+
     def train_round(self, state: GANState, batch: ComplexBatch, key, d_steps=1, g_steps=1):
+        """One adversarial round: sample -> host chemistry -> D/graph-D/G.
+
+        The same sampled batch feeds the discriminator updates and the first
+        generator update (on-policy: g_params are unchanged until g_step);
+        additional g_steps resample."""
         metrics = {}
+        key, sub = jax.random.split(key)
+        tokens = self.sample(state.g_params, batch, sub)
+        chem_r, fake = self._host_bridge(tokens)
         for i in range(d_steps):
-            key, sub = jax.random.split(key)
-            state, d_loss, d_acc = self.d_step(state, batch, sub)
+            state, d_loss, d_acc = self.d_step(state, batch, tokens)
             metrics["gan/d_loss"] = float(d_loss)
             metrics["gan/d_acc"] = float(d_acc)
             if self.gd_step is not None:
                 key, sub = jax.random.split(key)
-                state, gd_loss, gd_acc = self.gd_step(state, batch, sub)
+                state, gd_loss, gd_acc = self.gd_step(state, batch, fake, sub)
                 metrics["gan/gd_loss"] = float(gd_loss)
                 metrics["gan/gd_acc"] = float(gd_acc)
+            if i + 1 < d_steps:  # fresh negatives for the next D update
+                key, sub = jax.random.split(key)
+                tokens = self.sample(state.g_params, batch, sub)
+                chem_r, fake = self._host_bridge(tokens)
         for i in range(g_steps):
-            key, sub = jax.random.split(key)
-            state, g_loss, reward, pct_valid = self.g_step(state, batch, sub)
+            if i > 0:  # stay on-policy after the parameter update
+                key, sub = jax.random.split(key)
+                tokens = self.sample(state.g_params, batch, sub)
+                chem_r, fake = self._host_bridge(tokens)
+            state, g_loss, reward, pct_valid = self.g_step(
+                state, batch, tokens, chem_r, fake
+            )
             metrics["gan/g_loss"] = float(g_loss)
             metrics["gan/reward"] = float(reward)
             if self.use_graph_disc:

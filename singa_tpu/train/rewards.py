@@ -1,25 +1,28 @@
 """Host-side chemistry bridge for the adversarial loop.
 
 Generated token sequences are decoded to SMILES, parsed back to molecular
-graphs (singa_tpu/chem/smiles_parser.py) and scored on the host; results
-re-enter the jitted loop through ``jax.pure_callback``. This is the round
-trip the reference would have done through RDKit (utils/PLParser.py:378-386)
-had its GAN been finished (model/Discriminator.py is a 0-byte placeholder).
+graphs (singa_tpu/chem/smiles_parser.py) and scored on the host; the results
+re-enter the device as ordinary array inputs of the next jitted step. This is
+the round trip the reference would have done through RDKit
+(utils/PLParser.py:378-386) had its GAN been finished (model/Discriminator.py
+is a 0-byte placeholder).
+
+The bridge is an EXPLICIT host round trip between jitted segments, not a
+``jax.pure_callback`` inside jit: the axon TPU runtime does not implement
+host send/recv callbacks (measured round 3: UNIMPLEMENTED at trace time),
+and the explicit form also lets one sampling pass feed all three updates of
+an adversarial round. Gradients are unaffected — rewards are
+``stop_gradient`` inputs to REINFORCE either way.
 
 Two bridges:
-  * ``chem_reward_fn`` — [B] scalar rewards: validity gate x property terms
-    (QED / SA / logP windows, matching the conditioning thresholds of
-    reference model/GAN.py:38-40).
-  * ``graph_batch_fn`` — fixed-shape (node features, mask, dense adjacency,
+  * ``chem_reward_host`` — [B] scalar rewards: validity gate x property terms
+    (QED / SA windows, matching the conditioning thresholds of reference
+    model/GAN.py:38-40).
+  * ``graph_batch_host`` — fixed-shape (node features, mask, dense adjacency,
     valid flag) batches for the graph discriminator.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from singa_tpu.chem.featurize import NODE_FEAT_DIM, atom_features
@@ -44,7 +47,14 @@ def _parse_tokens(tokens: np.ndarray):
     return mols
 
 
-def _reward_host(tokens: np.ndarray, w_qed: float, w_sas: float) -> np.ndarray:
+def chem_reward_host(
+    tokens: np.ndarray, w_qed: float = 0.5, w_sas: float = 0.5
+) -> np.ndarray:
+    """[B, T] tokens -> [B] float32 rewards (host).
+
+    Reward = 0 for invalid SMILES (the validity gate), else
+    1 + w_qed*[QED > 0.6] + w_sas*[SA < 4.0].
+    """
     out = np.zeros(len(tokens), np.float32)
     for i, mol in enumerate(_parse_tokens(tokens)):
         if mol is None or mol.num_atoms < 3:
@@ -58,26 +68,15 @@ def _reward_host(tokens: np.ndarray, w_qed: float, w_sas: float) -> np.ndarray:
     return out
 
 
-def chem_reward_fn(w_qed: float = 0.5, w_sas: float = 0.5) -> Callable:
-    """Returns ``fn(tokens [B, T]) -> [B] float32`` usable inside jit.
-
-    Reward = 0 for invalid SMILES (the validity gate), else
-    1 + w_qed*[QED > 0.6] + w_sas*[SA < 4.0].
-    """
-
-    def fn(tokens: jax.Array) -> jax.Array:
-        shape = jax.ShapeDtypeStruct((tokens.shape[0],), jnp.float32)
-        return jax.pure_callback(
-            functools.partial(_reward_host, w_qed=w_qed, w_sas=w_sas),
-            shape,
-            tokens,
-            vmap_method="sequential",
-        )
-
-    return fn
+# backward-compatible name (tests/test_gan_loop.py pins the gate behaviour)
+def _reward_host(tokens: np.ndarray, w_qed: float, w_sas: float) -> np.ndarray:
+    return chem_reward_host(tokens, w_qed, w_sas)
 
 
-def _graphs_host(tokens: np.ndarray, n_max: int) -> tuple[np.ndarray, ...]:
+def graph_batch_host(tokens: np.ndarray, n_max: int) -> tuple[np.ndarray, ...]:
+    """[B, T] tokens -> (x [B,N,59] f32, mask [B,N] bool, adj [B,N,N] f32,
+    valid [B] f32) on the host; invalid molecules give empty graphs and
+    valid=0 so the caller can mask them out of losses."""
     B = len(tokens)
     x = np.zeros((B, n_max, NODE_FEAT_DIM), np.float32)
     mask = np.zeros((B, n_max), bool)
@@ -93,29 +92,6 @@ def _graphs_host(tokens: np.ndarray, n_max: int) -> tuple[np.ndarray, ...]:
             adj[i, a, b] = adj[i, b, a] = 1.0
         valid[i] = 1.0
     return x, mask, adj, valid
-
-
-def graph_batch_fn(n_max: int) -> Callable:
-    """Returns ``fn(tokens) -> (x [B,N,59], mask [B,N], adj [B,N,N],
-    valid [B])`` usable inside jit; invalid molecules give empty graphs and
-    valid=0 so the caller can mask them out of losses."""
-
-    def fn(tokens: jax.Array):
-        B = tokens.shape[0]
-        shapes = (
-            jax.ShapeDtypeStruct((B, n_max, NODE_FEAT_DIM), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_max), jnp.bool_),
-            jax.ShapeDtypeStruct((B, n_max, n_max), jnp.float32),
-            jax.ShapeDtypeStruct((B,), jnp.float32),
-        )
-        return jax.pure_callback(
-            functools.partial(_graphs_host, n_max=n_max),
-            shapes,
-            tokens,
-            vmap_method="sequential",
-        )
-
-    return fn
 
 
 def validity_stats(tokens: np.ndarray) -> dict:

@@ -48,6 +48,31 @@ def test_sampling_produces_valid_sequences(gan_setup):
             assert lrow[eos[0] + 1 :].sum() == 0.0
 
 
+@pytest.mark.parametrize("grammar_mask", [False, True])
+def test_sequence_logp_matches_sampler(gan_setup, grammar_mask):
+    """The teacher-forced log-prob recompute (the REINFORCE surrogate) must
+    equal the log-probs the sampler recorded, per sequence, with and without
+    the grammar mask — this is what makes the host-bridge g_step on-policy."""
+    from singa_tpu.train.gan import sequence_logp
+
+    cfg, batch, trainer, state = gan_setup
+    enc, pad, prop = trainer._encode(state.g_params, batch)
+    tokens, logp = jax.jit(
+        lambda k: sample_sequences(
+            trainer.model, state.g_params, enc, pad, prop, k, TGT_LEN,
+            grammar_mask=grammar_mask,
+        )
+    )(jax.random.PRNGKey(7))
+    got = jax.jit(
+        lambda t: sequence_logp(
+            trainer.model, state.g_params, t, enc, pad, prop,
+            grammar_mask=grammar_mask,
+        )
+    )(tokens)
+    want = np.asarray(logp).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=1e-4)
+
+
 def test_adversarial_round_updates_all(gan_setup):
     cfg, batch, trainer, state = gan_setup
     d0 = jax.tree_util.tree_leaves(state.d_params)[0].copy()
