@@ -226,6 +226,31 @@ class _JLayout:
         # coefficient gather (to_m_primary cost ~56 ms/step in round 2)
         self.J_kept_m = self.J_kept[CoefficientMapping(lmax, mmax).l_to_m]
 
+        # Gather-free z-rotations: fold the m-flip permutation F into the
+        # constant matrices. For any constant M and z-rotation
+        # z(th, u) = c(th) * u - s(th) * (F u)  (c/s diagonal in m),
+        #   M z(th, u) = M (c*u) + (M F)(s*u)
+        # because s is odd in m (s_flip = -s) and F is an involution. The
+        # two halves stack along the CONTRACTION axis, and since K=n_full
+        # already lane-pads to 128 on the MXU, the stacked K=2*n_full matmul
+        # executes at the same cost — the per-edge flip gathers (the round-3
+        # profile's hottest data-formatting entries) vanish for free.
+        F = np.zeros_like(J)
+        F[np.arange(n_full), self.flip] = 1.0
+        self.rot_stage1 = np.concatenate([J.T, J.T @ F], axis=1)  # [n, 2n]
+        self.rot_stage2 = np.concatenate(
+            [self.J_kept, self.J_kept @ F], axis=1
+        )  # [n_trunc, 2n]
+        self.rot_stage2_m = np.concatenate(
+            [self.J_kept_m, self.J_kept_m @ F], axis=1
+        )
+        # rotate_inv needs both v = J w and F v in one pass (w = z(beta, u)):
+        # [[J, JF], [FJ, FJF]] @ [c*u; s*u] -> [v; Fv]
+        JF = J @ F
+        self.inv_stage2 = np.block(
+            [[J, JF], [F @ J, F @ JF]]
+        )  # [2n, 2n]
+
 
 def edge_frame(edge_vec: jax.Array, eps: float = 1e-8) -> EdgeFrame:
     """Deterministic gamma-free edge frame angles from edge vectors [E, 3]."""
@@ -237,11 +262,12 @@ def edge_frame(edge_vec: jax.Array, eps: float = 1e-8) -> EdgeFrame:
     return EdgeFrame(phi=phi, beta=beta)
 
 
-def _z_combine(theta: jax.Array, t: jax.Array, m_of, flip) -> jax.Array:
-    """Apply the z-rotation Z(theta) to l-primary features [E, coeffs, C]."""
+def _z_parts(theta: jax.Array, t: jax.Array, m_of) -> jax.Array:
+    """[c(theta)*t ; s(theta)*t] stacked on the coefficient axis — the input
+    to a folded-F constant matmul (see _JLayout). No gather."""
     cm = jnp.cos(m_of[None] * theta[:, None]).astype(t.dtype)
     sm = jnp.sin(m_of[None] * theta[:, None]).astype(t.dtype)
-    return cm[..., None] * t - sm[..., None] * jnp.take(t, flip, axis=1)
+    return jnp.concatenate([cm[..., None] * t, sm[..., None] * t], axis=1)
 
 
 def rotate(
@@ -258,11 +284,15 @@ def rotate(
         lay = _JLayout(lmax, mmax)
         dt = x.dtype
         m_of = jnp.asarray(lay.m_of)
-        t = _z_combine(-frame.phi, x, m_of, lay.flip)
-        t = jnp.einsum("ij,ejc->eic", jnp.asarray(lay.J.T, dt), t)
-        t = _z_combine(-frame.beta, t, m_of, lay.flip)
-        jk = lay.J_kept_m if m_primary else lay.J_kept
-        return jnp.einsum("kj,ejc->ekc", jnp.asarray(jk, dt), t)
+        # gather-free z-rotations: both halves of M z(th, u) = M(c*u) +
+        # (MF)(s*u) ride ONE matmul with the stacked [M | MF] constant
+        # (K doubles 49 -> 98 but stays inside the 128-lane MXU pad; see
+        # _JLayout.rot_stage1)
+        ab = _z_parts(-frame.phi, x, m_of)
+        t = jnp.einsum("ij,ejc->eic", jnp.asarray(lay.rot_stage1, dt), ab)
+        ab = _z_parts(-frame.beta, t, m_of)
+        jk2 = lay.rot_stage2_m if m_primary else lay.rot_stage2
+        return jnp.einsum("kj,ejc->ekc", jnp.asarray(jk2, dt), ab)
     if m_primary:
         out = rotate(frame, x, lmax, mmax)
         return CoefficientMapping(lmax, mmax).to_m_primary(out)
@@ -291,12 +321,18 @@ def rotate_inv(
     if isinstance(frame, EdgeFrame):
         lay = _JLayout(lmax, mmax)
         dt = x.dtype
+        n_full = lay.J.shape[0]
         m_of = jnp.asarray(lay.m_of)
         jk = lay.J_kept_m if m_primary else lay.J_kept
-        t = jnp.einsum("kj,ekc->ejc", jnp.asarray(jk, dt), x)
-        t = _z_combine(frame.beta, t, m_of, lay.flip)
-        t = jnp.einsum("ij,ejc->eic", jnp.asarray(lay.J, dt), t)
-        t = _z_combine(frame.phi, t, m_of, lay.flip)
+        u = jnp.einsum("kj,ekc->ejc", jnp.asarray(jk, dt), x)
+        # one stacked matmul yields BOTH v = J z(beta, u) and F v, so the
+        # final z(phi) needs no gather either (see _JLayout.inv_stage2)
+        ab = _z_parts(frame.beta, u, m_of)
+        vv = jnp.einsum("ij,ejc->eic", jnp.asarray(lay.inv_stage2, dt), ab)
+        v, fv = vv[:, :n_full], vv[:, n_full:]
+        cm = jnp.cos(m_of[None] * frame.phi[:, None]).astype(dt)
+        sm = jnp.sin(m_of[None] * frame.phi[:, None]).astype(dt)
+        t = cm[..., None] * v - sm[..., None] * fv
         if rescale:
             t = t * jnp.asarray(lay.inv_rescale, dt)[None, :, None]
         return t

@@ -23,6 +23,7 @@ handles them inside the softmax.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -285,14 +286,20 @@ def _flat(x):
     return x.reshape((-1,) + x.shape[2:])
 
 
+_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _ti(n: int, bwd: bool = False) -> int:
-    """Largest node-tile (<= 32 fwd, <= 16 bwd: the backward holds the
-    recomputed forward plus the grad chains in VMEM) that divides N exactly
-    (no ragged blocks: reductions would sum undefined padding content)."""
-    for t in ((16, 8, 4, 2, 1) if bwd else (32, 16, 8, 4, 2, 1)):
-        if n % t == 0:
-            return t
-    return 1
+    """Largest node-tile that divides N exactly (no ragged blocks:
+    reductions would sum undefined padding content). Default caps 64/32
+    under the raised 100 MB scoped-VMEM limit — the 16 MB default forced
+    32/16 tiles that left the pair matmuls M-starved on the MXU (same
+    lesson as the FFN kernel, round 2); env caps kept for sweeps."""
+    env = os.environ.get("SINGA_TPU_ATTN_TI_BWD" if bwd else "SINGA_TPU_ATTN_TI")
+    t = int(env) if env else (32 if bwd else 64)
+    while t > 1 and n % t:
+        t //= 2
+    return max(t, 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18))
@@ -331,6 +338,7 @@ def neighbor_attn_fused(
         ],
         out_specs=tile(H * vd),
         interpret=interpret,
+        compiler_params=_VMEM,
     )(
         _flat(qt), _flat(k), _flat(v), _flat(nbr),
         _flat(nbr_mask.astype(jnp.int32)), _flat(dist),
@@ -394,6 +402,7 @@ def _bwd(coeff, interpret, res, g):
         ],
         out_specs=tuple(o[1] for o in outs),
         interpret=interpret,
+        compiler_params=_VMEM,
     )(
         _flat(qt), _flat(k), _flat(v), _flat(nbr),
         _flat(nbr_mask.astype(jnp.int32)), _flat(dist),
@@ -468,6 +477,7 @@ def _hybrid_pallas_fwd(qt, k_nb, v_nb, nbr_mask, dist, diag_scores, diag_value,
         ],
         out_specs=tile(H * vd),
         interpret=interpret,
+        compiler_params=_VMEM,
     )(
         _flat(qt), k_nb.reshape(B * N, K, -1), v_nb.reshape(B * N, K, -1),
         _flat(nbr_mask.astype(jnp.int32)), _flat(dist),
@@ -556,6 +566,7 @@ def _bwd_h(coeff, interpret, res, g):
         ],
         out_specs=tuple(o[1] for o in outs),
         interpret=interpret,
+        compiler_params=_VMEM,
     )(
         _flat(qt), k_nb, v_nb, _flat(nbr),
         _flat(nbr_mask.astype(jnp.int32)), _flat(dist),

@@ -32,6 +32,7 @@ wrapper for the same reason.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -254,9 +255,16 @@ def _ffn_bwd_kernel(
 def _tiles(n: int, bwd: bool = False) -> int:
     # sized against the 100 MB scoped-VMEM limit (CompilerParams below; the
     # 16 MB default forced TN=32/16 in round 2, leaving every matmul
-    # instance M-starved on the MXU — raising the limit was worth ~2x)
-    cap = 64 if bwd else 128
+    # instance M-starved on the MXU — raising the limit was worth ~2x).
+    # Hardware-swept round 3 (tools/bench_so3_ffn.py --sweep): 128/64 with
+    # HC=128 chunks is the plateau; env overrides kept for future sweeps.
+    env = os.environ.get("SINGA_TPU_FFN_TN_BWD" if bwd else "SINGA_TPU_FFN_TN")
+    cap = int(env) if env else (64 if bwd else 128)
     return cap if n >= cap else max(8, n)
+
+
+def _hc_chunk() -> int:
+    return int(os.environ.get("SINGA_TPU_FFN_HC", "128"))
 
 
 def _pad_coeffs(x, lmax):
@@ -310,7 +318,7 @@ def so3_ffn_fused(x, w1, b1, wg, bg, w2, b2, tgp, fgp, lmax, interpret=False):
     xp = _pad_n(_pad_coeffs(x, lmax), tn)
     n, p, c = xp.shape
     h = w1.shape[2]
-    n_chunks = max(1, h // 128)
+    n_chunks = max(1, h // _hc_chunk())
     grid_dims = (n // tn,)
     full = lambda a: pl.BlockSpec(a.shape, lambda m: (0,) * a.ndim, memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((tn, p, c), lambda m: (m, 0, 0), memory_space=pltpu.VMEM)
@@ -339,7 +347,7 @@ def _bwd(lmax, interpret, res, dy):
     dyp = _pad_n(_pad_coeffs(dy, lmax), tn)
     n, p, c = xp.shape
     h = w1.shape[2]
-    n_chunks = max(1, h // 128)
+    n_chunks = max(1, h // _hc_chunk())
     grid_dims = (n // tn,)
     full = lambda a: pl.BlockSpec(a.shape, lambda m: (0,) * a.ndim, memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((tn, p, c), lambda m: (m, 0, 0), memory_space=pltpu.VMEM)
