@@ -215,6 +215,74 @@ def beam_search(
     return final_tokens[:, :topk], final_scores[:, :topk]
 
 
+def beam_generate(
+    model,
+    params,
+    enc,
+    enc_pad_mask,
+    prop,
+    *,
+    num_beams: int,
+    max_length: int,
+    length_penalty: float = 0.7,
+    topk: int = 1,
+    grammar_mask: bool = False,
+    allow_dot: bool = True,
+):
+    """KV-cached beam search as ONE pure function of (params, enc, pad, prop).
+
+    Call it under ``jax.jit`` with ``functools.partial`` binding ``model`` and
+    the static knobs. Everything data-like rides as a jit ARGUMENT — the
+    closure-capture form (make_cached_decode_fn + a ``lambda cache:`` jit)
+    baked the full parameter pytree into the program as literal constants:
+    ~103 MB of weights serialized into every beam HLO, 25-30 min remote
+    compiles, and HTTP 413 rejections from the axon compile service. As
+    arguments the program is ~1 MB and the compiled executable is reusable
+    across checkpoints.
+
+    Returns ``(tokens [B, topk, T], scores [B, topk])``.
+    """
+    B = enc.shape[0]
+    enc_rep = jnp.repeat(enc, num_beams, axis=0)
+    pad_rep = jnp.repeat(enc_pad_mask, num_beams, axis=0)
+    prop_rep = None if prop is None else jnp.repeat(prop, num_beams, axis=0)
+
+    _, variables = model.apply(
+        params, enc_rep, pad_rep, prop_rep, method="prime_cache", mutable=["cache"]
+    )
+    init_cache = variables["cache"]
+
+    def decode_fn(tokens, cur_len, cache):
+        last = jnp.take_along_axis(
+            tokens,
+            (cur_len - 1)[None, None].astype(jnp.int32)
+            * jnp.ones((tokens.shape[0], 1), jnp.int32),
+            axis=1,
+        )
+        logits, mut = model.apply(
+            {**params, "cache": cache},
+            last,
+            cur_len - 1,
+            enc_rep,
+            pad_rep,
+            method="decode_token",
+            mutable=["cache"],
+        )
+        return logits, mut["cache"]
+
+    return beam_search(
+        decode_fn,
+        batch_size=B,
+        num_beams=num_beams,
+        max_length=max_length,
+        length_penalty=length_penalty,
+        topk=topk,
+        init_cache=init_cache,
+        grammar_mask=grammar_mask,
+        allow_dot=allow_dot,
+    )
+
+
 def make_decode_fn(model, params, enc, enc_pad_mask, prop, num_beams: int):
     """Full-prefix decode adapter (no KV cache; fallback / parity path)."""
     enc_rep = jnp.repeat(enc, num_beams, axis=0)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import functools
 import os
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -24,7 +25,7 @@ import numpy as np
 from singa_tpu.chem.tokenizer import decode as detokenize
 from singa_tpu.config import Config, load_config
 from singa_tpu.data.complex_builder import build_from_files
-from singa_tpu.generate.beam import beam_search, make_cached_decode_fn
+from singa_tpu.generate.beam import beam_generate
 from singa_tpu.models.singa import SINGA
 from singa_tpu.train.checkpointing import CheckpointManager
 
@@ -36,30 +37,32 @@ def generate_for_pocket(
     cfg: Config,
     prop_target=None,
 ):
-    """Returns (smiles list, scores) for one pocket batch."""
-    enc, pad = model.apply(params, batch, method="encode_pocket")
+    """Returns (smiles list, scores) for one pocket batch.
+
+    params/enc/prop ride as jit ARGUMENTS (not closure constants): the old
+    closure form serialized the full weight pytree into the beam program
+    (~103 MB HLO, 25+ min remote compiles on axon — see beam.beam_generate).
+    """
+    enc, pad = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))(
+        params, batch
+    )
     prop = None
     if cfg.model.num_props:
         tgt = prop_target if prop_target is not None else cfg.generate.prop
         prop = jnp.asarray([tgt] * batch.batch_size, jnp.float32)
 
-    decode_fn, init_cache = make_cached_decode_fn(
-        model, params, enc, pad, prop, cfg.generate.num_beams
-    )
-
     tokens, scores = jax.jit(
-        lambda cache: beam_search(
-            decode_fn,
-            batch_size=batch.batch_size,
+        functools.partial(
+            beam_generate,
+            model,
             num_beams=cfg.generate.num_beams,
             max_length=cfg.generate.max_length,
             length_penalty=cfg.generate.length_penalty,
             topk=cfg.generate.topk,
-            init_cache=cache,
             grammar_mask=cfg.generate.grammar_mask,
             allow_dot=cfg.generate.allow_dot,
         )
-    )(init_cache)
+    )(params, enc, pad, prop)
     tokens = np.asarray(tokens)
     smiles = [
         detokenize(tokens[b, k])

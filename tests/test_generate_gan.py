@@ -168,6 +168,41 @@ def test_kv_cache_matches_full_decode():
     )
 
 
+def test_beam_generate_matches_closure_path():
+    """beam_generate (params as jit arguments — the form whose HLO is ~1 MB
+    instead of the closure form's ~103 MB of inlined weights) must reproduce
+    the legacy make_cached_decode_fn + beam_search path exactly."""
+    import functools
+
+    import jax.numpy as jnp
+    from singa_tpu.generate.beam import beam_generate, make_cached_decode_fn
+    from singa_tpu.models.singa import SINGA
+
+    cfg = tiny_config()
+    batch = synthetic_batch(3, batch_size=2, shapes=cfg.shapes, tgt_len=TGT_LEN)
+    model = SINGA(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    enc, pad = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))(
+        params, batch
+    )
+    prop = jnp.ones((2, 3), jnp.float32)
+    kw = dict(num_beams=3, max_length=12, length_penalty=0.7, topk=2)
+
+    decode_fn, cache = make_cached_decode_fn(model, params, enc, pad, prop, 3)
+    ref_tok, ref_sc = jax.jit(
+        lambda c: beam_search(
+            decode_fn, batch_size=2, init_cache=c, grammar_mask=True, **kw
+        )
+    )(cache)
+
+    tok, sc = jax.jit(
+        functools.partial(beam_generate, model, grammar_mask=True, **kw)
+    )(params, enc, pad, prop)
+
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_sc), rtol=1e-6)
+
+
 def test_generate_cli_npz_input(tmp_path):
     """The generate CLI accepts an ETL .npz complex directly (the trained-on
     featurization, used by the real-data anchor runbook stage 5)."""

@@ -31,18 +31,22 @@ def main():
     from singa_tpu.config import Config
     from singa_tpu.data.batch import synthetic_batch
     from singa_tpu.dtypes import set_compute_dtype
-    from singa_tpu.generate.beam import beam_search, make_cached_decode_fn
+    from singa_tpu.generate.beam import beam_generate
     from singa_tpu.models.singa import SINGA
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    B = int(args[0]) if args else 8
-    beams = int(args[1]) if len(args) > 1 else 20
-    pretrain = 0
-    if "--pretrain" in sys.argv:
-        pretrain = int(sys.argv[sys.argv.index("--pretrain") + 1])
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch_size", type=int, nargs="?", default=8)
+    ap.add_argument("num_beams", type=int, nargs="?", default=20)
+    ap.add_argument("--pretrain", type=int, default=0)
     # SMILES grammar/valence masking during decode (generate/grammar.py);
-    # --no-mask measures the unmasked baseline for the ablation.
-    mask = "--no-mask" not in sys.argv
+    # --no-mask measures the unmasked baseline for the ablation. (The old
+    # hand-rolled parsing swallowed option VALUES as positionals: --pretrain
+    # 200 silently became num_beams=200 — a 10x-too-wide beam.)
+    ap.add_argument("--no-mask", action="store_true")
+    a = ap.parse_args()
+    B, beams, pretrain, mask = a.batch_size, a.num_beams, a.pretrain, not a.no_mask
     cfg = Config()
     set_compute_dtype(cfg.train.compute_dtype)
     batch = synthetic_batch(0, batch_size=B, shapes=cfg.shapes, tgt_len=cfg.model.decoder.tgt_len)
@@ -89,31 +93,34 @@ def main():
 
     enc, pad = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))(params, batch)
     prop = jnp.ones((B, 3), jnp.float32)
-    decode_fn, cache = make_cached_decode_fn(model, params, enc, pad, prop, beams)
+
+    # params/enc ride as jit ARGUMENTS — the old closure form serialized the
+    # weight pytree into the program (~103 MB HLO -> 25+ min remote compiles
+    # and HTTP 413 on axon; see generate/beam.py beam_generate docstring)
+    import functools
 
     run = jax.jit(
-        lambda c: beam_search(
-            decode_fn,
-            batch_size=B,
+        functools.partial(
+            beam_generate,
+            model,
             num_beams=beams,
             max_length=cfg.generate.max_length,
             length_penalty=cfg.generate.length_penalty,
             topk=1,
-            init_cache=c,
             grammar_mask=mask,
             allow_dot=False,
         )
     )
 
     t0 = time.time()
-    tokens, scores = run(cache)
+    tokens, scores = run(params, enc, pad, prop)
     jax.block_until_ready(tokens)
     print(f"compile+first {time.time()-t0:.1f}s", file=sys.stderr)
 
     iters = 3
     t0 = time.time()
     for _ in range(iters):
-        tokens, scores = run(cache)
+        tokens, scores = run(params, enc, pad, prop)
     jax.block_until_ready(tokens)
     dt = (time.time() - t0) / iters
     mps = B / dt
