@@ -256,10 +256,12 @@ def _tiles(n: int, bwd: bool = False) -> int:
     # sized against the 100 MB scoped-VMEM limit (CompilerParams below; the
     # 16 MB default forced TN=32/16 in round 2, leaving every matmul
     # instance M-starved on the MXU — raising the limit was worth ~2x).
-    # Hardware-swept round 3 (tools/bench_so3_ffn.py --sweep): 128/64 with
-    # HC=128 chunks is the plateau; env overrides kept for future sweeps.
+    # Hardware-swept round 3: TN 128 fwd AND bwd with HC=128 chunks is the
+    # plateau (bwd 128 measured 69.2 vs 68.4 graphs/s at 64 in the full
+    # step; HC 256 a wash, attn-style bwd-tile halving a loss). Env
+    # overrides kept for future sweeps.
     env = os.environ.get("SINGA_TPU_FFN_TN_BWD" if bwd else "SINGA_TPU_FFN_TN")
-    cap = int(env) if env else (64 if bwd else 128)
+    cap = int(env) if env else 128
     return cap if n >= cap else max(8, n)
 
 
