@@ -20,12 +20,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _sigmoid(x):
+    # tanh-form sigmoid: measurably faster VPU lowering than logistic in
+    # Mosaic at these grid shapes (see so3_ffn.py — 20 ms/step on the FFN)
+    return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
+
+
 def _silu(x):
-    return x * jax.nn.sigmoid(x)
+    return x * _sigmoid(x)
 
 
 def _silu_grad(x):
-    s = jax.nn.sigmoid(x)
+    s = _sigmoid(x)
     return s * (1.0 + x * (1.0 - s))
 
 

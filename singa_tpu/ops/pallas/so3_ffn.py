@@ -41,12 +41,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _sigmoid(x):
+    # tanh-form sigmoid: on this VPU the tanh lowering measured faster than
+    # the logistic lowering for the [TN, HC, G] grid activation (the kernel's
+    # dominant VPU cost, ~33 ms/step standalone at flagship shapes)
+    return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
+
+
 def _silu(x):
-    return x * jax.nn.sigmoid(x)
+    return x * _sigmoid(x)
 
 
 def _silu_grad(x):
-    s = jax.nn.sigmoid(x)
+    s = _sigmoid(x)
     return s * (1.0 + x * (1.0 - s))
 
 
