@@ -201,7 +201,20 @@ def main():
         nb_p = enc.num_interactions * (3 * (nb_mlp + nb_sc) + nb_gather)
     else:
         nb_p = enc.num_interactions * (3 * (nb_mlp + nb_sc) + 5 * nb_gather)
-    useful_flops = xla_flops + ffn_u + s2_u + nb_u
+    # one-hot edge-engine matmuls (ops/neighbors.py, round 3): XLA counts
+    # them (they are einsums), but they are structural data movement, not
+    # algorithmic work — subtract from the useful ledger, keep in impl.
+    # Per pass: 3 F=784 gathers/scatters per block (2 gathers + 1 scatter)
+    # + 1 edge-degree scatter, each one fwd + one transpose matmul.
+    eo_flops = 0.0
+    if not os.environ.get("SINGA_TPU_EDGE_TABLE"):
+        n_c = cfg.shapes.num_protein_nodes + cfg.shapes.num_ligand_nodes
+        e_intra = cfg.shapes.num_pp_edges + cfg.shapes.num_ll_edges
+        e_inter = cfg.shapes.num_lp_edges + cfg.shapes.num_pl_edges
+        sites = 2 * (3 * e.num_layers + 1)  # fwd+bwd per site
+        for e_cnt in (e_intra, e_inter):
+            eo_flops += sites * 2 * batch_size * e_cnt * n_c * I_c * C
+    useful_flops = xla_flops - eo_flops + ffn_u + s2_u + nb_u
     impl_flops = xla_flops + ffn_p + s2_u + nb_p
     step_flops = useful_flops
     params, opt_state, loss = compiled(params, opt_state, batch)

@@ -180,32 +180,39 @@ class EquivariantRMSNorm(nn.Module):
         # f32 statistics under mixed precision; keeps f64 when given f64
         # (the torch-parity tests run the norms in double)
         x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
-        C = x.shape[-1]
+        N, I, C = x.shape
         weight = self.param("weight", nn.initializers.ones, (self.lmax + 1, C))
         bias = self.param("bias", nn.initializers.zeros, (C,)) if self.centering else None
 
+        # FLAT [N, I*C] layout throughout: at C=16 the [N, I, C] form pays 8x
+        # lane under-utilisation on every elementwise op, and its backward
+        # reduce_sums were ~9 ms/step in the round-3 batch-32 profile.
+        x2 = x.reshape(N, I * C)
         if self.centering:
-            l0 = x[:, :1, :]
-            l0 = l0 - jnp.mean(l0, axis=-1, keepdims=True)
-            x = jnp.concatenate([l0, x[:, 1:, :]], axis=1)
+            mean0 = jnp.mean(x2[:, :C], axis=-1, keepdims=True)  # [N, 1]
+            e0 = jnp.asarray(
+                np.concatenate([np.ones(C), np.zeros((I - 1) * C)]).astype(np.float32),
+                x2.dtype,
+            )
+            x2 = x2 - mean0 * e0[None, :]
 
         mapping = CoefficientMapping(self.lmax, self.lmax)
         if self.std_balance_degrees:
-            bal = 1.0 / ((2.0 * mapping.l_of_full + 1.0) * (self.lmax + 1))
-            norm = jnp.einsum(
-                "nic,i->nc", x * x, jnp.asarray(bal, x.dtype)
-            )  # [N, C]
-            norm = norm[:, None, :]
+            bal = 1.0 / ((2.0 * mapping.l_of_full + 1.0) * (self.lmax + 1) * C)
+            balv = np.repeat(np.asarray(bal), C)  # [I*C]
         else:
-            norm = jnp.mean(x * x, axis=1, keepdims=True)
-        norm = jnp.mean(norm, axis=-1, keepdims=True)  # [N, 1, 1]
-        inv = jax.lax.rsqrt(norm + self.eps)
+            balv = np.full(I * C, 1.0 / (I * C))
+        norm = (x2 * x2) @ jnp.asarray(balv, x2.dtype)  # [N]
+        inv = jax.lax.rsqrt(norm + self.eps)[:, None]
 
-        w = jnp.take(weight.astype(x.dtype), mapping.l_of_full, axis=0)  # [coeffs, C]
-        out = x * inv * w[None]
+        wv = jnp.take(weight.astype(x2.dtype), mapping.l_of_full, axis=0)  # [I, C]
+        out = x2 * inv * wv.reshape(1, I * C)
         if self.centering:
-            out = add_l0(out, bias)
-        return out.astype(in_dtype)
+            bflat = jnp.concatenate(
+                [bias.astype(out.dtype), jnp.zeros((I - 1) * C, out.dtype)]
+            )
+            out = out + bflat[None, :]
+        return out.reshape(N, I, C).astype(in_dtype)
 
 
 class EquivariantLayerNorm(nn.Module):

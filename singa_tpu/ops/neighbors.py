@@ -130,6 +130,25 @@ def build_dst_table(
     return edge_of, kept, dropped
 
 
+def _use_onehot() -> bool:
+    """Per-graph one-hot matmul gathers/scatters are the DEFAULT engine
+    (opt out with SINGA_TPU_EDGE_TABLE=1 for A/B against the table form).
+
+    Round-3 finding: XLA row gathers on this chip run far below DMA
+    bandwidth and their transposes are HLO scatter-adds (~43 ms/step of the
+    batch-32 flagship profile across the embedding's edge ops). A *per-graph
+    batched* one-hot contraction ``[B,E,N] x [B,N,F]`` is only ~20 GFLOP at
+    those shapes — sub-ms on the MXU — and its transpose is again a matmul,
+    so the whole gather/scatter/softmax family stays on the MXU with no
+    scatters anywhere. (The round-1 one-hot engine was slow because it was
+    GLOBAL ``[B*E, B*N]``: 12x the FLOPs and a ~650 MB one-hot; batching
+    per graph removes both. bench_edge_engines.py compares the forms.)
+    """
+    import os
+
+    return not os.environ.get("SINGA_TPU_EDGE_TABLE")
+
+
 class EdgeEngine(NamedTuple):
     """Flat-index edge operations over one merged (src-set, dst-set) pair.
 
@@ -142,6 +161,10 @@ class EdgeEngine(NamedTuple):
     mask: jax.Array  # [B*E] bool
     edge_of: jax.Array  # [B*N_dst, K] int32 global edge id, sentinel B*E
     src_of: Optional[jax.Array] = None  # [B*N_src, K] source table (optional)
+    # per-graph-local views for the one-hot matmul engine
+    src_local: Optional[jax.Array] = None  # [B, E] int32 graph-local source
+    dst_local: Optional[jax.Array] = None  # [B, E] int32 graph-local dest
+    mask2: Optional[jax.Array] = None  # [B, E] bool
 
     @classmethod
     def create(
@@ -164,7 +187,12 @@ class EdgeEngine(NamedTuple):
         if src_table is not None:
             stbl = jnp.where(src_table >= E, B * E, src_table + off_e)
             stbl = stbl.reshape(B * n_src, -1)
-        return cls(src, dst, mask.reshape(-1), tbl.reshape(B * n_dst, -1), stbl)
+        return cls(
+            src, dst, mask.reshape(-1), tbl.reshape(B * n_dst, -1), stbl,
+            src_local=index[..., 0].astype(jnp.int32),
+            dst_local=index[..., 1].astype(jnp.int32),
+            mask2=mask,
+        )
 
     @property
     def num_edges(self) -> int:
@@ -177,16 +205,35 @@ class EdgeEngine(NamedTuple):
     def _mask_like(self, x: jax.Array) -> jax.Array:
         return self.mask.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
 
+    def _onehot(self, local: jax.Array, n: int, dtype) -> jax.Array:
+        """[B, E, n] one-hot incidence with the edge mask folded in (masked
+        edges are all-zero rows). Bool compare -> cast: carries no tangent,
+        so autodiff never touches it."""
+        oh = local[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (*local.shape, n), 2
+        )
+        return jnp.logical_and(oh, self.mask2[:, :, None]).astype(dtype)
+
+    def _oh_gather(self, x2: jax.Array, local: jax.Array, n: int) -> jax.Array:
+        """Per-graph one-hot gather: [B*n, F] rows -> [B*E, F] edge rows.
+
+        Exactly one nonzero per output row, so the contraction is bit-exact
+        vs jnp.take at any dtype; the transpose is the mirrored matmul."""
+        B, E = local.shape
+        xb = x2.reshape(B, n, -1)
+        out = jnp.einsum("ben,bnf->bef", self._onehot(local, n, x2.dtype), xb)
+        return out.reshape(B * E, -1)
+
     def gather_src(self, x: jax.Array) -> jax.Array:
         """x [B*N_src, ...] -> per-edge source rows [B*E, ...] (masked zero).
 
-        Gathers run on a FLAT 2-D view: rows of a [N, I, C] array are (8,128)
-        tiles padded on both trailing dims (C=16..32 lanes -> ~4x HBM bloat),
-        and row-gathering those pages ran at single-digit GB/s in the round-2
-        profile. A [N, I*C] view keeps lanes ~full; the reshapes fuse into
-        neighbouring elementwise work."""
+        Operates on a FLAT 2-D view (C=16..32-lane [N, I, C] rows pay ~4x
+        (8,128)-tile bloat; [N, I*C] keeps lanes full)."""
         orig = x.shape[1:]
         x2 = x.reshape(x.shape[0], -1)
+        if self.src_local is not None and _use_onehot():
+            n = x2.shape[0] // self.src_local.shape[0]
+            return self._oh_gather(x2, self.src_local, n).reshape((-1,) + orig)
         if self.src_of is not None:
             out = _take_rows(x2, self.src_flat, self.src_of)
         else:
@@ -197,6 +244,9 @@ class EdgeEngine(NamedTuple):
     def gather_dst(self, x: jax.Array) -> jax.Array:
         orig = x.shape[1:]
         x2 = x.reshape(x.shape[0], -1)
+        if self.dst_local is not None and _use_onehot():
+            n = x2.shape[0] // self.dst_local.shape[0]
+            return self._oh_gather(x2, self.dst_local, n).reshape((-1,) + orig)
         out = _take_rows(x2, self.dst_flat, self.edge_of)
         out = out * self.mask[:, None].astype(out.dtype)
         return out.reshape((-1,) + orig)
@@ -204,10 +254,22 @@ class EdgeEngine(NamedTuple):
     def scatter_dst(self, m: jax.Array) -> jax.Array:
         """Sum per-edge values into destinations: [B*E, ...] -> [B*N_dst, ...].
 
-        Accumulates in float32 regardless of input dtype; both directions are
-        gathers (table-sum forward, row-gather backward), on flat views."""
+        Accumulates in float32 regardless of input dtype. One-hot form: the
+        transposed incidence contraction [B,N,E] x [B,E,F] (a matmul, f32
+        accumulation on the MXU); its backward is the gather matmul."""
         orig = m.shape[1:]
         m2 = m.reshape(m.shape[0], -1)
+        if self.dst_local is not None and _use_onehot():
+            B, E = self.dst_local.shape
+            n_dst = self.edge_of.shape[0] // B
+            vb = m2.reshape(B, E, -1)
+            out = jnp.einsum(
+                "ben,bef->bnf",
+                self._onehot(self.dst_local, n_dst, m2.dtype),
+                vb,
+                preferred_element_type=jnp.float32,
+            ).astype(m2.dtype)
+            return out.reshape((-1,) + orig)
         v = m2 * self.mask[:, None].astype(m2.dtype)
         out = _scatter_rows(v, self.dst_flat, self.edge_of)
         return out.reshape((-1,) + orig)
@@ -216,13 +278,27 @@ class EdgeEngine(NamedTuple):
         """Per-destination softmax over incoming edges; logits [B*E, H].
 
         Exactly stabilised with the per-destination max via the destination
-        table (the one-hot engine could only afford a per-graph max)."""
+        table. The max path is wrapped in stop_gradient — softmax is
+        invariant to the subtracted constant, so its gradient is EXACTLY
+        zero analytically — which kills the table gather's scatter-add
+        transpose (14 ms/step in the round-3 batch-32 profile). The
+        denominator rides the one-hot scatter/gather matmuls."""
         lg = logits.astype(jnp.float32)
         lp = jnp.concatenate([lg, jnp.full((1,) + lg.shape[1:], -jnp.inf, lg.dtype)])
-        g = jnp.take(lp, self.edge_of.reshape(-1), axis=0)
+        g = jnp.take(jax.lax.stop_gradient(lp), self.edge_of.reshape(-1), axis=0)
         g = g.reshape(self.num_dst, -1, *lg.shape[1:])  # [N, K, H]
         mx = jnp.max(g, axis=1)
         mx_safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        if self.dst_local is not None and _use_onehot():
+            B, E = self.dst_local.shape
+            n_dst = self.edge_of.shape[0] // B
+            mx_e = jnp.take(mx_safe, self.dst_flat, axis=0)  # no-grad path
+            e = jnp.exp(lg - mx_e) * self._mask_like(lg)
+            oh = self._onehot(self.dst_local, n_dst, e.dtype)
+            dn = jnp.einsum("ben,beh->bnh", oh, e.reshape(B, E, -1))
+            dn_e = jnp.einsum("ben,bnh->beh", oh, dn).reshape(B * E, -1)
+            alpha = e / jnp.maximum(dn_e, eps)
+            return alpha.astype(logits.dtype)
         dn = jnp.sum(jnp.exp(g - mx_safe[:, None]), axis=1)
         # table-transpose takes: the plain-take backward is an HLO scatter-add
         mx_e = _take_rows(mx_safe, self.dst_flat, self.edge_of)
