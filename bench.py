@@ -206,6 +206,13 @@ def main():
     # algorithmic work — subtract from the useful ledger, keep in impl.
     # Per pass: 3 F=784 gathers/scatters per block (2 gathers + 1 scatter)
     # + 1 edge-degree scatter, each one fwd + one transpose matmul.
+    # Hand-derived site count (advisor round-3 low finding): it deliberately
+    # OMITS the small-F one-hot sites — the softmax denominator pair (H=4
+    # lanes), position/z-embedding gathers (F<=64), and the edge-degree
+    # radial gathers — together <2% of eo_flops at flagship shapes, so the
+    # useful ledger is biased *high* (conservative: real useful-MFU can only
+    # be slightly better than reported). Cross-checked once against the
+    # tools/parse_profile.py einsum totals at the round-3 operating point.
     eo_flops = 0.0
     if not os.environ.get("SINGA_TPU_EDGE_TABLE"):
         n_c = cfg.shapes.num_protein_nodes + cfg.shapes.num_ligand_nodes

@@ -1,22 +1,24 @@
-"""Edge gather/scatter/softmax engine: row gathers + destination tables.
+"""Edge gather/scatter/softmax engine: per-graph one-hot matmuls (default)
+with a destination-table fallback.
 
-Round-2 replacement for the one-hot-incidence engine
-(singa_tpu/ops/edge_matmul.py). That engine expressed gather/scatter as
-``[B, E, N]`` dense matmuls — O(E*N*F) FLOPs per op (~20 TFLOP per gather at
-the flagship shapes), which dominated the round-1 step. On this TPU a plain
-row gather is 14x faster and a destination-table reduction 8x faster than the
-one-hot matmuls (tools/bench_edge_engines.py), with *exact* per-destination
-softmax stabilisation instead of per-graph (one-hot softmax error vs numpy:
-3.4e-3; this engine: 8e-7).
+The DEFAULT engine expresses gather/scatter/softmax as *per-graph batched*
+one-hot contractions ``[B, E, N] x [B, N, F]`` — ~20 GFLOP total at the
+flagship shapes, sub-ms on the MXU, and every transpose is again a matmul,
+so no HLO scatters appear anywhere (round-3 finding: XLA row gathers on this
+chip run far below DMA bandwidth and their transposes are scatter-adds,
+~43 ms/step of the batch-32 flagship profile). All one-hot contractions run
+at ``Precision.HIGHEST`` so f32 operands are NOT rounded to bf16 — with the
+3-pass f32 decomposition a gather-by-one-hot reproduces ``jnp.take`` to f32
+rounding (bf16 operands are single-pass and exact either way).
 
-Design:
-  * ``gather_src/gather_dst`` — ``jnp.take`` row gathers on flat global ids.
-  * ``scatter_dst`` — ``segment_sum`` (XLA scatter-add; O(E*F) work).
+The FALLBACK (``SINGA_TPU_EDGE_TABLE=1``) is the round-2 row-gather engine:
+  * ``gather_src/gather_dst`` — ``jnp.take`` row gathers on flat global ids
+    with destination-table transposes (custom VJPs, no HLO scatter).
   * ``softmax_dst`` — per-destination max/denominator via a host-precomputed
-    destination table ``edge_of[dst, k] -> edge id`` (K = max in-degree),
-    then gathered back to edges. No scatter in the forward pass.
-  * cost scales O(E*F) + O(N*K*H) — node-count growth is linear, unlocking
-    large pockets (SURVEY §5.7) that the one-hot engine priced quadratically.
+    destination table ``edge_of[dst, k] -> edge id`` (K = max in-degree).
+  * cost scales O(E*F) + O(N*K*H) — node-count growth is linear, relevant
+    for pockets large enough that the one-hot O(E*N) FLOPs stop being free
+    (SURVEY §5.7; tools/bench_edge_engines.py measures the crossover).
 
 The destination table is built on the host at collate time
 (``build_dst_table``) because constructing it on device would itself be a
@@ -217,11 +219,18 @@ class EdgeEngine(NamedTuple):
     def _oh_gather(self, x2: jax.Array, local: jax.Array, n: int) -> jax.Array:
         """Per-graph one-hot gather: [B*n, F] rows -> [B*E, F] edge rows.
 
-        Exactly one nonzero per output row, so the contraction is bit-exact
-        vs jnp.take at any dtype; the transpose is the mirrored matmul."""
+        Exactly one nonzero per output row; at HIGHEST precision the f32
+        operand is decomposed (not rounded to bf16), so the contraction
+        matches jnp.take to f32 rounding (bf16 inputs are exact either way);
+        the transpose is the mirrored matmul."""
         B, E = local.shape
         xb = x2.reshape(B, n, -1)
-        out = jnp.einsum("ben,bnf->bef", self._onehot(local, n, x2.dtype), xb)
+        out = jnp.einsum(
+            "ben,bnf->bef",
+            self._onehot(local, n, x2.dtype),
+            xb,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return out.reshape(B * E, -1)
 
     def gather_src(self, x: jax.Array) -> jax.Array:
@@ -268,6 +277,7 @@ class EdgeEngine(NamedTuple):
                 self._onehot(self.dst_local, n_dst, m2.dtype),
                 vb,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             ).astype(m2.dtype)
             return out.reshape((-1,) + orig)
         v = m2 * self.mask[:, None].astype(m2.dtype)
@@ -295,13 +305,20 @@ class EdgeEngine(NamedTuple):
             mx_e = jnp.take(mx_safe, self.dst_flat, axis=0)  # no-grad path
             e = jnp.exp(lg - mx_e) * self._mask_like(lg)
             oh = self._onehot(self.dst_local, n_dst, e.dtype)
-            dn = jnp.einsum("ben,beh->bnh", oh, e.reshape(B, E, -1))
-            dn_e = jnp.einsum("ben,bnh->beh", oh, dn).reshape(B * E, -1)
+            hp = jax.lax.Precision.HIGHEST
+            dn = jnp.einsum("ben,beh->bnh", oh, e.reshape(B, E, -1), precision=hp)
+            dn_e = jnp.einsum("ben,bnh->beh", oh, dn, precision=hp).reshape(B * E, -1)
             alpha = e / jnp.maximum(dn_e, eps)
             return alpha.astype(logits.dtype)
-        dn = jnp.sum(jnp.exp(g - mx_safe[:, None]), axis=1)
-        # table-transpose takes: the plain-take backward is an HLO scatter-add
-        mx_e = _take_rows(mx_safe, self.dst_flat, self.edge_of)
+        # Table branch: the denominator must stay LIVE (its -alpha_i*alpha_j
+        # gradient term is real); only the subtracted max is a gradient-free
+        # constant. Building dn from the stop_gradient'd table gather silently
+        # killed that term (advisor round-3 high finding).
+        mx_e = jax.lax.stop_gradient(
+            _take_rows(mx_safe, self.dst_flat, self.edge_of)
+        )
+        e = jnp.exp(lg - mx_e) * self._mask_like(lg)
+        dn = _scatter_rows(e, self.dst_flat, self.edge_of)  # live, f32
         dn_e = _take_rows(dn, self.dst_flat, self.edge_of)
-        alpha = jnp.exp(lg - mx_e) / jnp.maximum(dn_e, eps)
-        return (alpha * self._mask_like(alpha)).astype(logits.dtype)
+        alpha = e / jnp.maximum(dn_e, eps)
+        return alpha.astype(logits.dtype)

@@ -130,6 +130,54 @@ def test_engine_softmax_per_destination():
     np.testing.assert_allclose(alpha, np.asarray(old.softmax_dst(lg)), atol=1e-4)
 
 
+def test_table_branch_softmax_grad(monkeypatch):
+    """SINGA_TPU_EDGE_TABLE=1 softmax must keep the denominator's gradient
+    (the -alpha_i*alpha_j term) — regression for the advisor's round-3 high
+    finding where stop_gradient on the table gather also froze dn."""
+    monkeypatch.setenv("SINGA_TPU_EDGE_TABLE", "1")
+    _, new, B, E, N = _engines(11)
+    rng = np.random.default_rng(12)
+    lg = jnp.asarray(rng.normal(size=(B * E, 2)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=lg.shape).astype(np.float32))
+
+    dst = np.asarray(new.dst_flat)
+    msk = np.asarray(new.mask)
+
+    def brute(v):
+        # per-destination softmax in pure jnp (autodiff reference)
+        out = jnp.zeros_like(v)
+        for d in np.unique(dst[msk]):
+            rows = np.nonzero((dst == d) & msk)[0]
+            z = v[rows]
+            a = jax.nn.softmax(z, axis=0)
+            out = out.at[rows].set(a)
+        return out
+
+    g_tab = jax.grad(lambda v: jnp.vdot(new.softmax_dst(v), ct))(lg)
+    g_ref = jax.grad(lambda v: jnp.vdot(brute(v), ct))(lg)
+    np.testing.assert_allclose(np.asarray(g_tab), np.asarray(g_ref), atol=1e-5)
+    # and the default one-hot branch agrees too
+    monkeypatch.delenv("SINGA_TPU_EDGE_TABLE")
+    g_oh = jax.grad(lambda v: jnp.vdot(new.softmax_dst(v), ct))(lg)
+    np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_ref), atol=1e-5)
+
+
+def test_onehot_gather_exact_at_default_precision():
+    """One-hot gathers must match jnp.take for f32 payloads WITHOUT the
+    conftest 'highest' precision pin (advisor round-3: default-precision
+    einsums rounded f32 positions to bf16, err ~7.6e-3)."""
+    _, new, B, E, N = _engines(9)
+    rng = np.random.default_rng(10)
+    # values with structure below bf16 resolution
+    x = jnp.asarray((rng.normal(size=(B * N, 3)) * (1 + 1e-5)).astype(np.float32))
+    with jax.default_matmul_precision("default"):
+        got = np.asarray(new.gather_src(x))
+        ref = np.asarray(
+            jnp.take(x, new.src_flat, axis=0) * new.mask[:, None].astype(x.dtype)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
 def test_engine_grads_flow():
     old, new, B, E, N = _engines(5)
     rng = np.random.default_rng(6)
