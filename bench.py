@@ -61,6 +61,14 @@ def main():
                 featurizer_feat_dim=(lmax + 1) ** 2 * cfg.embedding.sphere_channels,
             ),
         )
+    if "--ffn" in sys.argv:
+        # FFN activation recipe A/B: s2 (default) | gate | grid
+        import dataclasses
+
+        act = sys.argv[sys.argv.index("--ffn") + 1]
+        cfg = dataclasses.replace(
+            cfg, embedding=dataclasses.replace(cfg.embedding, ffn_activation=act)
+        )
     if "--enc-remat" in sys.argv:
         import dataclasses
 
@@ -171,6 +179,10 @@ def main():
     ffn_fwd_p = 2 * 2 * n_nodes * P * G * H + 2 * 2 * n_nodes * P * C * H
     ffn_u = calls * 4 * ffn_fwd_u
     ffn_p = calls * 4 * ffn_fwd_p
+    if getattr(e, "ffn_activation", "s2") != "s2":
+        # gate/grid FFN variants run in plain XLA einsums — their FLOPs are
+        # already in xla_flops (and all useful); nothing hides in custom calls
+        ffn_u = ffn_p = 0.0
     # s2 activation kernel on the edge chain (attention resolution, rows are
     # already unpadded): bwd recomputes to-grid then two transposed passes
     from singa_tpu.equivariant.so3 import num_coeffs_trunc

@@ -56,6 +56,12 @@ class EmbeddingConfig:
     num_heads: int = 7
     num_layers: int = 3
     norm_type: str = "rms_norm_sh"
+    # FFN nonlinearity (reference EF_layers.py:152-270 config axes):
+    # 's2' = separable S2 grid activation (reference shipped default);
+    # 'gate' = GateActivation, no grid transforms — removes the FFN's
+    # dominant S2-grid matmuls (~56% of step useful-FLOPs), the fast recipe;
+    # 'grid' = grid-space 3-layer MLP (use_grid_mlp, parity coverage).
+    ffn_activation: str = "s2"
     basis_width_scalar: float = 20.0
     remat: bool = True
     # 'full' recomputes everything; 'dots' saves matmuls; 's2' saves every

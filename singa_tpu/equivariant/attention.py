@@ -92,26 +92,40 @@ class EdgeDegreeEmbedding(nn.Module):
 
 
 class FeedForwardNetwork(nn.Module):
-    """SO3 linear -> separable S2 activation -> SO3 linear
-    (EF_layers.py:152-270 with the config's use_sep_s2_act=True path).
+    """SO3 linear -> activation -> SO3 linear (EF_layers.py:152-270).
 
-    On TPU the whole block runs as ONE fused Pallas kernel
-    (ops/pallas/so3_ffn.py): the [N, 49, hidden] intermediates and the
-    [N, hidden, G] grid tensor (784 MB / ~3 GB at flagship shapes) never
-    exist outside VMEM, forward or backward. The XLA path below is the
-    parity reference (CPU, tests, SINGA_TPU_NO_PALLAS=1)."""
+    Three activation variants, matching the reference's config axes:
+      * ``s2`` — separable S2 grid activation (use_sep_s2_act=True, the
+        reference's shipped default). On TPU the whole block runs as ONE
+        fused Pallas kernel (ops/pallas/so3_ffn.py): the [N, 49, hidden]
+        intermediates and the [N, hidden, G] grid tensor (784 MB / ~3 GB at
+        flagship shapes) never exist outside VMEM, forward or backward. The
+        XLA path below is the parity reference (CPU, tests,
+        SINGA_TPU_NO_PALLAS=1).
+      * ``gate`` — GateActivation (use_gate_act=True, EF_layers.py:220-223,
+        1683-1733): sigmoid gates from the l=0 scalars multiply each degree;
+        NO grid transforms. Removes the FFN's dominant S2-grid matmuls
+        (~56% of the round-3 step's useful FLOPs) — the round-4 fast recipe.
+      * ``grid`` — grid-space 3-layer MLP (use_grid_mlp=True +
+        use_sep_s2_act=True, EF_layers.py:203-216); parity coverage only,
+        FLOP-heavy by construction.
+    """
 
     hidden_channels: int
     output_channels: int
     lmax: int
+    activation: str = "s2"  # "s2" | "gate" | "grid"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from jax.ad_checkpoint import checkpoint_name
+
         from singa_tpu.dtypes import compute_dtype
         from singa_tpu.equivariant.layers import (
             _grid_mats_for,
             _use_pallas,
             add_l0,
+            gate_activation,
             torch_linear_kernel_init,
         )
 
@@ -124,14 +138,58 @@ class FeedForwardNetwork(nn.Module):
             bound = 1.0 / np.sqrt(fan_in)
             return lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound)
 
-        wg = self.param("gate_kernel", torch_linear_kernel_init, (C, H))
-        bg = self.param("gate_bias", unif(C), (H,))
         w1 = self.param("w1", unif(C), (L, H, C))
         b1 = self.param("b1", nn.initializers.zeros, (H,))
         w2 = self.param("w2", unif(H), (L, Co, H))
         b2 = self.param("b2", nn.initializers.zeros, (Co,))
-
         dt = compute_dtype()
+        l_of = so3.CoefficientMapping(self.lmax, self.lmax).l_of_full
+
+        def lin(v, w, b):
+            we = jnp.take(w.astype(dt), l_of, axis=0)  # [I, out, in]
+            return add_l0(jnp.einsum("nic,ioc->nio", v.astype(dt), we), b)
+
+        if self.activation == "gate":
+            # reference gating_linear: Linear(C, lmax*H) on the l=0 scalars
+            wg = self.param("gate_kernel", torch_linear_kernel_init, (C, self.lmax * H))
+            bg = self.param("gate_bias", unif(C), (self.lmax * H,))
+            gating = x[:, 0, :].astype(dt) @ wg.astype(dt) + bg.astype(dt)
+            # tag the wide [N, I, H] intermediates so the 's2'/'s2x' remat
+            # policies recompute them instead of saving ~700 MB per call
+            h = checkpoint_name(lin(x, w1, b1), "s2_grid")
+            h = checkpoint_name(
+                gate_activation(gating, h, self.lmax, self.lmax), "s2_grid"
+            )
+            return lin(h, w2, b2)
+
+        if self.activation == "grid":
+            # use_grid_mlp + use_sep_s2_act: scalar MLP on l=0, 3-layer
+            # pointwise MLP on the full-resolution grid (no biases), scalars
+            # re-injected after from_grid (EF_layers.py:238-262)
+            wsc = self.param("scalar_kernel", torch_linear_kernel_init, (C, H))
+            bsc = self.param("scalar_bias", unif(C), (H,))
+            gm = [
+                self.param(f"grid_mlp_{i}", torch_linear_kernel_init, (H, H))
+                for i in range(3)
+            ]
+            scalars = jax.nn.silu(x[:, 0, :].astype(dt) @ wsc.astype(dt) + bsc.astype(dt))
+            h = lin(x, w1, b1)
+            tg, fg = _grid_mats_for(self.lmax, self.lmax, False)
+            g = checkpoint_name(
+                jnp.einsum("bai,nic->nbac", jnp.asarray(tg, h.dtype), h), "s2_grid"
+            )
+            g = jax.nn.silu(g @ gm[0].astype(dt))
+            g = jax.nn.silu(g @ gm[1].astype(dt))
+            g = g @ gm[2].astype(dt)
+            h = jnp.einsum("bai,nbac->nic", jnp.asarray(fg, g.dtype), g)
+            h = jnp.concatenate([scalars[:, None, :], h[:, 1:, :]], axis=1)
+            return lin(h, w2, b2)
+
+        if self.activation != "s2":
+            raise ValueError(f"unknown ffn activation {self.activation!r}")
+
+        wg = self.param("gate_kernel", torch_linear_kernel_init, (C, H))
+        bg = self.param("gate_bias", unif(C), (H,))
         tg, fg = _grid_mats_for(self.lmax, self.lmax, False)
         tg2 = np.ascontiguousarray(tg.reshape(-1, tg.shape[-1]))
         fg2 = np.ascontiguousarray(fg.reshape(-1, fg.shape[-1]))
@@ -152,13 +210,10 @@ class FeedForwardNetwork(nn.Module):
             )
 
         # ---- XLA reference path (identical math) ----
-        l_of = so3.CoefficientMapping(self.lmax, self.lmax).l_of_full
         gating = x[:, 0, :].astype(dt) @ wg.astype(dt) + bg.astype(dt)
-        w1e = jnp.take(w1.astype(dt), l_of, axis=0)  # [I, H, C]
-        h = add_l0(jnp.einsum("nic,ioc->nio", x.astype(dt), w1e), b1)
+        h = lin(x, w1, b1)
         h = separable_s2_activation(gating, h, self.lmax, self.lmax)
-        w2e = jnp.take(w2.astype(dt), l_of, axis=0)
-        return add_l0(jnp.einsum("nic,ioc->nio", h.astype(dt), w2e), b2)
+        return lin(h, w2, b2)
 
 
 class GraphAttention(nn.Module):
@@ -280,7 +335,8 @@ class GraphAttention(nn.Module):
 
         # attention logits from the invariant m=0 channel
         x_alpha = x_alpha.reshape(-1, self.num_heads, self.attn_alpha_channels)
-        x_alpha = nn.LayerNorm(name="alpha_norm")(x_alpha)
+        # epsilon: torch nn.LayerNorm default (1e-5), not flax's 1e-6
+        x_alpha = nn.LayerNorm(epsilon=1e-5, name="alpha_norm")(x_alpha)
         x_alpha = smooth_leaky_relu(x_alpha)
         bound = 1.0 / np.sqrt(self.attn_alpha_channels)
         alpha_dot = self.param(
@@ -340,6 +396,7 @@ class TransBlock(nn.Module):
     mmax: int
     edge_channels: Sequence[int]
     norm_type: str = "rms_norm_sh"
+    ffn_activation: str = "s2"
 
     @nn.compact
     def __call__(
@@ -373,6 +430,7 @@ class TransBlock(nn.Module):
             hidden_channels=self.ffn_hidden_channels,
             output_channels=self.sphere_channels,
             lmax=self.lmax,
+            activation=self.ffn_activation,
             name="ffn",
         )(x)
         return x + res

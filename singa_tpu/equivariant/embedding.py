@@ -91,6 +91,7 @@ class EquivariantEmbedding(nn.Module):
                 mmax=cfg.mmax,
                 edge_channels=edge_hidden,
                 norm_type=cfg.norm_type,
+                ffn_activation=cfg.ffn_activation,
                 name=f"block_{i}",
             )
             for i in range(cfg.num_layers)

@@ -323,16 +323,25 @@ class EquivariantDropout(nn.Module):
 def gate_activation(
     gating_scalars: jax.Array, x: jax.Array, lmax: int, mmax: int
 ) -> jax.Array:
-    """Reference GateActivation (EF_layers.py:1683-1733). Parameter-free."""
+    """Reference GateActivation (EF_layers.py:1683-1733). Parameter-free.
+
+    The wide [N, coeffs-1, C] intermediates are checkpoint-tagged "s2_grid"
+    so the save-except remat policies recompute them: untagged they are
+    saved residuals (~670 MB each at flagship gate-FFN shapes — the batch-32
+    gate recipe OOM'd by 6 GB before the tags)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     C = x.shape[-1]
     gates = jax.nn.sigmoid(gating_scalars).reshape(x.shape[0], lmax, C)
     expand = []
     for l in range(1, lmax + 1):
         n_m = min(2 * l + 1, 2 * mmax + 1)
         expand.extend([l - 1] * n_m)
-    gates = jnp.take(gates, np.asarray(expand, np.int32), axis=1)
+    gates = checkpoint_name(
+        jnp.take(gates, np.asarray(expand, np.int32), axis=1), "s2_grid"
+    )
     scalars = jax.nn.silu(x[:, :1, :])
-    vectors = x[:, 1:, :] * gates
+    vectors = checkpoint_name(x[:, 1:, :] * gates, "s2_grid")
     return jnp.concatenate([scalars, vectors], axis=1)
 
 

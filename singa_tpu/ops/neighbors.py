@@ -42,11 +42,10 @@ def _table_sum(v: jax.Array, table: jax.Array) -> jax.Array:
     -> f32 [N, ...]. K static row-gathers with fused accumulation — no HLO
     scatter, no [N, K, ...] materialisation, no sentinel-row concat copy
     (sentinel indices are out of bounds and fill with exact zeros)."""
+    acc_t = jnp.promote_types(v.dtype, jnp.float32)  # f32 accumulation (f64 stays f64)
     acc = None
     for k in range(table.shape[1]):
-        g = jnp.take(v, table[:, k], axis=0, mode="fill", fill_value=0).astype(
-            jnp.float32
-        )
+        g = jnp.take(v, table[:, k], axis=0, mode="fill", fill_value=0).astype(acc_t)
         acc = g if acc is None else acc + g
     return acc
 
@@ -276,7 +275,7 @@ class EdgeEngine(NamedTuple):
                 "ben,bef->bnf",
                 self._onehot(self.dst_local, n_dst, m2.dtype),
                 vb,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.promote_types(m2.dtype, jnp.float32),
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(m2.dtype)
             return out.reshape((-1,) + orig)
@@ -293,7 +292,7 @@ class EdgeEngine(NamedTuple):
         zero analytically — which kills the table gather's scatter-add
         transpose (14 ms/step in the round-3 batch-32 profile). The
         denominator rides the one-hot scatter/gather matmuls."""
-        lg = logits.astype(jnp.float32)
+        lg = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
         lp = jnp.concatenate([lg, jnp.full((1,) + lg.shape[1:], -jnp.inf, lg.dtype)])
         g = jnp.take(jax.lax.stop_gradient(lp), self.edge_of.reshape(-1), axis=0)
         g = g.reshape(self.num_dst, -1, *lg.shape[1:])  # [N, K, H]

@@ -172,6 +172,56 @@ def test_s2_activation_z_equivariance_full_m():
     assert err < 0.3, err
 
 
+def test_ffn_gate_exact_equivariance():
+    """The gate-FFN variant has no grid transforms: gates are invariant
+    (l=0-derived) scalars multiplying whole degrees, so it is EXACTLY
+    equivariant under arbitrary rotations (unlike the S2 variants' aliasing
+    envelope)."""
+    from singa_tpu.equivariant.attention import FeedForwardNetwork
+
+    mod = FeedForwardNetwork(
+        hidden_channels=12, output_channels=5, lmax=LMAX, activation="gate"
+    )
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(6, (LMAX + 1) ** 2, 3)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(2), x)
+    R = _rand_rot(22)
+    out1 = _rotate_full(R, mod.apply(params, x))
+    out2 = mod.apply(params, _rotate_full(R, x))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_ffn_grid_variant_z_equivariance_envelope():
+    """The grid-MLP FFN variant commutes with rotations up to the S2 grid's
+    aliasing envelope (same property as the plain S2 activation)."""
+    from singa_tpu.equivariant.attention import FeedForwardNetwork
+
+    mod = FeedForwardNetwork(
+        hidden_channels=8, output_channels=4, lmax=LMAX, activation="grid"
+    )
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(
+        0.05 * rng.normal(size=(4, (LMAX + 1) ** 2, 3)).astype(np.float32)
+    )
+    params = mod.init(jax.random.PRNGKey(3), x)
+    psi = 0.7
+    blocks = wigner_blocks(jnp.asarray(rot_z(psi)[None], jnp.float32), LMAX, LMAX)
+
+    def rot(v):
+        outs = []
+        for l in range(LMAX + 1):
+            s = l * l
+            outs.append(
+                jnp.einsum("kn,enc->ekc", blocks[l][0], v[:, s : s + 2 * l + 1])
+            )
+        return jnp.concatenate(outs, axis=1)
+
+    out1 = np.asarray(rot(mod.apply(params, x)))
+    out2 = np.asarray(mod.apply(params, rot(x)))
+    err = np.abs(out1 - out2).max() / (np.abs(out1).max() + 1e-9)
+    assert err < 0.3, err
+
+
 def test_pallas_s2_kernel_parity():
     """Fused Pallas S2 activation (interpret mode) matches the XLA path,
     forward and backward."""

@@ -17,22 +17,32 @@ reference"):
    m-block sizes, coefficient masks and the m-truncation rescale must match
    our static index arrays (singa_tpu/equivariant/so3.py).
 
-Anchoring boundary (documented, not an omission): the full
-SO2EquivariantGraphAttention / TransBlockV2 blocks are NOT golden-anchored
-end-to-end because exact parity is impossible in principle — the reference
-draws a RANDOM azimuthal gauge per forward (init_edge_rot_mat,
-EF_layers.py:2302 ``torch.rand_like``), and the discrete S2-grid activation
-is not exactly gauge-invariant, so the reference's own block output varies
-run-to-run. Every deterministic constituent IS anchored here (Wigner,
+3. **Composed equivariant blocks** (round 4): the full
+   SO2EquivariantGraphAttention (EF_layers.py:878-1204) and TransBlockV2
+   (1207-1410, homogeneous AND hetero dict-x paths) are golden-anchored
+   END-TO-END at fp64/1e-10. The reference draws a RANDOM azimuthal gauge
+   per forward (init_edge_rot_mat, EF_layers.py:2302 ``torch.rand_like``);
+   determinism comes from seeding torch and injecting the reference's own
+   per-edge Wigner D-matrices into our ``so3.rotate`` explicit path — with
+   identical rotation constants on both sides the gauge (and the SH basis
+   convention) drops out of the comparison entirely, leaving exactly the
+   composition under test: edge radial -> expand/concat -> rotate -> SO2
+   conv -> sep-S2 activation -> SO2 conv -> alpha softmax -> rotate back ->
+   reduce -> projection (+ norms/residuals/FFN at the block level).
+4. **FeedForwardNetwork** in all three activation variants (sep-S2 / gate /
+   grid-MLP, EF_layers.py:152-270) whole-module at fp64.
+
+Every deterministic constituent is ALSO anchored individually (Wigner,
 coefficient mapping, SO2_m/SO2 convolution incl. radial + extra-m0,
 RadialFunction, SO3_LinearV2, all three equivariant norms, Gate/S2/sep-S2
 activations, EdgeDegreeEmbedding via its basis-invariant content), and the
 ENTIRE CProMG transformer is anchored end-to-end on the real 7cff complex
 (encoder with its kNN/undirected/smearing/Laplacian graph chain, second
 encoder with cross-attention, decoder incl. real token tensors, vocab
-projection). The equivariant block-level composition is covered by
-rotation-equivariance and gauge tests (tests/test_equivariant_layers.py)
-at 1e-5.
+projection). The equivariant stack's geometry-to-frame path (which the
+Wigner injection bypasses) is covered by rotation-equivariance and gauge
+tests (tests/test_equivariant_layers.py) at 1e-5 and the edge-alignment
+probe in test_edge_degree_embedding_matches_reference.
 """
 from __future__ import annotations
 
@@ -495,6 +505,82 @@ def test_s2_activation_matches_reference():
         got = separable_s2_activation(
             jnp.asarray(s_np), jnp.asarray(x_np), LMAX, LMAX
         )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+
+
+@pytest.mark.parametrize("variant", ["s2", "gate", "grid"])
+def test_feedforward_network_matches_reference(variant):
+    """The whole FeedForwardNetwork module (EF_layers.py:152-270) in all three
+    activation variants — sep-S2 (shipped default), gate (use_gate_act), and
+    grid MLP (use_grid_mlp + use_sep_s2_act) — against torch fp64 with copied
+    parameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.dtypes import compute_dtype_scope
+    from singa_tpu.equivariant.attention import FeedForwardNetwork
+    from singa_tpu.equivariant.grid import get_grid
+
+    mod = _load_reference_ef_layers()
+    torch.manual_seed(3)
+    rng = np.random.default_rng(17)
+    C, H, Co, N = 8, 12, 10, 5
+
+    grid = get_grid(LMAX, LMAX)
+    stub = _GridStub(
+        _t64(np.asarray(grid.to_grid_mat, np.float64)),
+        _t64(np.asarray(grid.from_grid_mat, np.float64)),
+    )
+    stub.mapping = mod.CoefficientMappingModule([LMAX], [LMAX], device="cpu")
+    so3_grid = {LMAX: {LMAX: stub}}
+
+    ref = mod.FeedForwardNetwork(
+        sphere_channels=C,
+        hidden_channels=H,
+        output_channels=Co,
+        lmax_list=[LMAX],
+        mmax_list=[LMAX],
+        SO3_grid=so3_grid,
+        use_gate_act=(variant == "gate"),
+        use_grid_mlp=(variant == "grid"),
+        use_sep_s2_act=True,
+        device="cpu",
+    ).double()
+
+    x_np = rng.normal(size=(N, (LMAX + 1) ** 2, C))
+    emb = mod.SO3_Embedding(N, [LMAX], C, device="cpu", dtype=torch.float64)
+    emb.set_embedding(torch.tensor(x_np))
+    with torch.no_grad():
+        want = ref(emb).embedding.numpy()
+
+    t = lambda p: p.detach().numpy()
+    mapped = {
+        "w1": t(ref.so3_linear_1.weight),
+        "b1": t(ref.so3_linear_1.bias),
+        "w2": t(ref.so3_linear_2.weight),
+        "b2": t(ref.so3_linear_2.bias),
+    }
+    if variant == "s2":
+        mapped["gate_kernel"] = t(ref.gating_linear.weight).T
+        mapped["gate_bias"] = t(ref.gating_linear.bias)
+    elif variant == "gate":
+        mapped["gate_kernel"] = t(ref.gating_linear.weight).T
+        mapped["gate_bias"] = t(ref.gating_linear.bias)
+    else:
+        mapped["scalar_kernel"] = t(ref.scalar_mlp[0].weight).T
+        mapped["scalar_bias"] = t(ref.scalar_mlp[0].bias)
+        for i, idx in enumerate((0, 2, 4)):
+            mapped[f"grid_mlp_{i}"] = t(ref.grid_mlp[idx].weight).T
+
+    ours = FeedForwardNetwork(
+        hidden_channels=H, output_channels=Co, lmax=LMAX, activation=variant
+    )
+    with compute_dtype_scope(jnp.float64):
+        params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x_np))["params"]
+        import chex
+
+        chex.assert_trees_all_equal_structs(mapped, params)
+        got = ours.apply({"params": mapped}, jnp.asarray(x_np))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
 
 
@@ -1070,6 +1156,300 @@ def test_edge_degree_embedding_matches_reference():
     np.testing.assert_allclose(
         per_l_norms(got), per_l_norms(want), atol=2e-5, rtol=1e-4
     )
+
+
+def _install_o3_shims(mod):
+    """Real e3nn angle conventions for the stubbed o3 module (needed by
+    SO3_Rotation.RotationToWignerDMatrix)."""
+
+    def xyz_to_angles(xyz):
+        xyz = torch.nn.functional.normalize(xyz, p=2.0, dim=-1)
+        xyz = xyz.clamp(-1, 1)
+        beta = torch.acos(xyz[..., 1])
+        alpha = torch.atan2(xyz[..., 0], xyz[..., 2])
+        return alpha, beta
+
+    def _rot_y(a):
+        c, s, o, z = torch.cos(a), torch.sin(a), torch.ones_like(a), torch.zeros_like(a)
+        return torch.stack(
+            [torch.stack([c, z, s], -1), torch.stack([z, o, z], -1),
+             torch.stack([-s, z, c], -1)], -2)
+
+    def _rot_x(a):
+        c, s, o, z = torch.cos(a), torch.sin(a), torch.ones_like(a), torch.zeros_like(a)
+        return torch.stack(
+            [torch.stack([o, z, z], -1), torch.stack([z, c, -s], -1),
+             torch.stack([z, s, c], -1)], -2)
+
+    mod.o3.xyz_to_angles = xyz_to_angles
+    mod.o3.angles_to_matrix = lambda a, b, g: _rot_y(a) @ _rot_x(b) @ _rot_y(g)
+    # per-destination softmax for the stubbed torch_geometric
+    utils = types.ModuleType("torch_geometric.utils")
+
+    def _softmax(src, index, num_nodes=None):
+        n = int(index.max()) + 1
+        shape = (n,) + src.shape[1:]
+        idx = index.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+        mx = torch.full(shape, float("-inf"), dtype=src.dtype).scatter_reduce(
+            0, idx, src, reduce="amax", include_self=True
+        )
+        e = (src - mx[index]).exp()
+        dn = torch.zeros(shape, dtype=src.dtype).index_add(0, index, e)
+        return e / dn[index].clamp_min(1e-16)
+
+    utils.softmax = _softmax
+    mod.pyg.utils = utils
+    return mod
+
+
+def _seeded_reference_gauge(mod, edge_vec_np, lmax):
+    """Deterministic reference edge frames: seed torch, run the reference's
+    init_edge_rot_mat (random azimuthal gauge, EF_layers.py:2286-2350), build
+    its fp64 Wigner matrices, and return (SO3_Rotation, padded blocks for OUR
+    rotate). Injecting the reference's own D-matrices removes the gauge
+    freedom — both pipelines then rotate with literally the same numbers."""
+    from singa_tpu.equivariant import so3
+
+    import jax.numpy as jnp
+
+    torch.manual_seed(1234)
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        R = mod.init_edge_rot_mat(_t64(edge_vec_np), device="cpu")
+        rot = mod.SO3_Rotation(lmax, device="cpu")
+        rot.set_wigner(R)
+    finally:
+        torch.set_default_dtype(prev)
+    wig = rot.wigner.numpy()  # [E, (lmax+1)^2, (lmax+1)^2] fp64
+    blocks = []
+    for l in range(lmax + 1):
+        mm = min(l, MMAX)
+        s = l * l
+        blocks.append(
+            jnp.asarray(wig[:, s + (l - mm) : s + (l + mm) + 1, s : s + 2 * l + 1])
+        )
+    return rot, so3.pad_wigner_blocks(blocks, lmax, MMAX)
+
+
+def _attention_param_map(ref):
+    """Reference SO2EquivariantGraphAttention params -> our GraphAttention."""
+    t = lambda p: p.detach().numpy()
+    extra = ref.num_heads * ref.attn_alpha_channels + ref.hidden_channels
+    return {
+        "so2_conv_1": _so2_weight_map(ref.so2_conv_1, LMAX + 1, extra),
+        "so2_conv_2": _so2_weight_map(ref.so2_conv_2, LMAX + 1, 0),
+        "alpha_norm": {"scale": t(ref.alpha_norm.weight), "bias": t(ref.alpha_norm.bias)},
+        "alpha_dot": t(ref.alpha_dot),
+        "proj_w": t(ref.proj.weight),
+        "proj_b": t(ref.proj.bias),
+    }
+
+
+def _attention_fixture(seed, n_src=7, n_dst=7):
+    """Shared geometry/edge fixture: every destination gets >= 1 edge."""
+    from singa_tpu.ops.neighbors import EdgeEngine, build_dst_table
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    E = 2 * n_dst
+    dst = np.concatenate([np.arange(n_dst), rng.integers(0, n_dst, n_dst)])
+    src = (dst + rng.integers(1, n_src, E)) % n_src
+    pos_src = rng.normal(size=(n_src, 3)) * 3.0
+    pos_dst = pos_src if n_src == n_dst else rng.normal(size=(n_dst, 3)) * 3.0
+    edge_vec = pos_src[src] - pos_dst[dst]
+    idx = np.stack([src, dst], -1)[None]
+    mask = np.ones((1, E), bool)
+    tbl, kept, dropped = build_dst_table(idx[..., 1], mask, n_dst, 6)
+    assert dropped == 0
+    engine = EdgeEngine.create(
+        jnp.asarray(idx, jnp.int32), jnp.asarray(mask), jnp.asarray(tbl),
+        n_src=n_src, n_dst=n_dst,
+    )
+    return rng, src, dst, edge_vec, engine
+
+
+def test_so2_graph_attention_matches_reference():
+    """The COMPOSED SO2EquivariantGraphAttention block (EF_layers.py:878-1204)
+    vs torch fp64 END-TO-END: edge-scalar radial -> expand/concat -> rotate
+    (reference's own seeded-gauge Wigner matrices injected on our side) ->
+    SO2 conv 1 -> separable S2 activation -> SO2 conv 2 -> per-destination
+    alpha softmax -> rotate back -> reduce -> projection. This is the
+    composition VERDICT r3 flagged as un-anchored; determinism comes from
+    seeding the reference's random azimuthal gauge and feeding our rotate the
+    identical D-matrices."""
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.dtypes import compute_dtype_scope
+    from singa_tpu.equivariant.attention import GraphAttention
+    from singa_tpu.equivariant.grid import get_grid
+
+    mod = _install_o3_shims(_load_reference_ef_layers())
+    torch.manual_seed(11)
+    C, H, HEADS, AC, VC, CO, D0 = 6, 10, 2, 4, 3, 6, 9
+    rng, src, dst, edge_vec, engine = _attention_fixture(31)
+    N = 7
+    E = len(src)
+
+    rot, wig_ours = _seeded_reference_gauge(mod, edge_vec, LMAX)
+    mappingReduced = mod.CoefficientMappingModule([LMAX], [MMAX], device="cpu")
+    grid_t = get_grid(LMAX, MMAX)
+    so3_grid = {
+        LMAX: {
+            MMAX: _GridStub(
+                _t64(np.asarray(grid_t.to_grid_mat, np.float64)),
+                _t64(np.asarray(grid_t.from_grid_mat, np.float64)),
+            )
+        }
+    }
+    ref = mod.SO2EquivariantGraphAttention(
+        sphere_channels=C, hidden_channels=H, num_heads=HEADS,
+        attn_alpha_channels=AC, attn_value_channels=VC, output_channels=CO,
+        lmax_list=[LMAX], mmax_list=[MMAX], SO3_rotation=[rot],
+        mappingReduced=mappingReduced, SO3_grid=so3_grid,
+        max_num_elements=16, edge_channels_list=[D0, 16, 16],
+        use_atom_edge_embedding=False, device="cpu",
+    ).double().eval()
+
+    x_np = rng.normal(size=(N, (LMAX + 1) ** 2, C))
+    xe_np = rng.normal(size=(E, D0))
+    x_ref = mod.SO3_Embedding(N, [LMAX], C, device="cpu", dtype=torch.float64)
+    x_ref.set_embedding(_t64(x_np))
+    with torch.no_grad():
+        want = ref(
+            x_ref,
+            torch.zeros(N, dtype=torch.long),
+            _t64(xe_np),
+            torch.tensor(np.stack([src, dst])),
+            hetero=False,
+        ).embedding.numpy()
+
+    ours = GraphAttention(
+        sphere_channels=C, hidden_channels=H, num_heads=HEADS,
+        attn_alpha_channels=AC, attn_value_channels=VC, output_channels=CO,
+        lmax=LMAX, mmax=MMAX, edge_channels=(16, 16),
+    )
+    with compute_dtype_scope(jnp.float64):
+        x_j = jnp.asarray(x_np)
+        xe_j = jnp.asarray(xe_np)
+        params = ours.init(jax.random.PRNGKey(0), x_j, x_j, xe_j, engine, wig_ours)[
+            "params"
+        ]
+        mapped = _attention_param_map(ref)
+        import chex
+
+        chex.assert_trees_all_equal_structs(mapped, params)
+        got = ours.apply({"params": mapped}, x_j, x_j, xe_j, engine, wig_ours)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+
+
+@pytest.mark.parametrize("hetero", [False, True])
+def test_transblock_v2_matches_reference(hetero):
+    """The COMPOSED TransBlockV2 (EF_layers.py:1207-1410): pre-norm ->
+    attention -> residual -> pre-norm -> FFN -> residual, homogeneous AND
+    heterogeneous (dict-x) paths, torch fp64, seeded reference gauge."""
+    import jax
+    import jax.numpy as jnp
+
+    from singa_tpu.dtypes import compute_dtype_scope
+    from singa_tpu.equivariant.attention import TransBlock
+    from singa_tpu.equivariant.grid import get_grid
+
+    mod = _install_o3_shims(_load_reference_ef_layers())
+    torch.manual_seed(13)
+    C, H, HEADS, AC, VC, FH, D0 = 6, 10, 2, 4, 3, 14, 9
+    n_src = 7
+    rng, src, dst, edge_vec, engine = _attention_fixture(37, n_src=n_src, n_dst=7)
+    N = 7
+    E = len(src)
+
+    rot, wig_ours = _seeded_reference_gauge(mod, edge_vec, LMAX)
+    mappingReduced = mod.CoefficientMappingModule([LMAX], [MMAX], device="cpu")
+    grid_t = get_grid(LMAX, MMAX)
+    grid_f = get_grid(LMAX, LMAX)
+    as_stub = lambda g: _GridStub(
+        _t64(np.asarray(g.to_grid_mat, np.float64)),
+        _t64(np.asarray(g.from_grid_mat, np.float64)),
+    )
+    so3_grid = {LMAX: {MMAX: as_stub(grid_t), LMAX: as_stub(grid_f)}}
+
+    ref = mod.TransBlockV2(
+        sphere_channels=C, attn_hidden_channels=H, attn_alpha_channels=AC,
+        attn_value_channels=VC, ffn_hidden_channels=FH, output_channels=C,
+        edge_channels_list=[D0, 16, 16], lmax_list=[LMAX], mmax_list=[MMAX],
+        SO3_rotation=[rot], mappingReduced=mappingReduced, SO3_grid=so3_grid,
+        num_heads=HEADS, max_num_elements=16, use_atom_edge_embedding=False,
+        device="cpu",
+    ).double().eval()
+    # the reference creates balance_degree_weight in float32 (rounded before
+    # .double()); replace with exact values so the comparison measures the
+    # computation (same approach as test_equivariant_norms_match_reference)
+    l_of = np.asarray([l for l in range(LMAX + 1) for _ in range(2 * l + 1)])
+    exact = (1.0 / ((2.0 * l_of + 1.0) * (LMAX + 1)))[:, None]
+    with torch.no_grad():
+        ref.norm_1.balance_degree_weight.copy_(_t64(exact))
+        ref.norm_2.balance_degree_weight.copy_(_t64(exact))
+
+    x_dst_np = rng.normal(size=(N, (LMAX + 1) ** 2, C))
+    x_src_np = rng.normal(size=(n_src, (LMAX + 1) ** 2, C)) if hetero else x_dst_np
+    xe_np = rng.normal(size=(E, D0))
+    edge_index = torch.tensor(np.stack([src, dst]))
+
+    with torch.no_grad():
+        if hetero:
+            xs = mod.SO3_Embedding(n_src, [LMAX], C, device="cpu", dtype=torch.float64)
+            xs.set_embedding(_t64(x_src_np))
+            xt = mod.SO3_Embedding(N, [LMAX], C, device="cpu", dtype=torch.float64)
+            xt.set_embedding(_t64(x_dst_np))
+            want = ref(
+                {"l": xs, "p": xt},
+                {"l": torch.zeros(n_src, dtype=torch.long),
+                 "p": torch.zeros(N, dtype=torch.long)},
+                _t64(xe_np), edge_index, batch=None, hetero=True,
+                source_target=("l", "p"),
+            ).embedding.numpy()
+        else:
+            x_ref = mod.SO3_Embedding(N, [LMAX], C, device="cpu", dtype=torch.float64)
+            x_ref.set_embedding(_t64(x_dst_np))
+            want = ref(
+                x_ref, torch.zeros(N, dtype=torch.long), _t64(xe_np),
+                edge_index, batch=None, hetero=False,
+            ).embedding.numpy()
+
+    ours = TransBlock(
+        sphere_channels=C, attn_hidden_channels=H, attn_alpha_channels=AC,
+        attn_value_channels=VC, ffn_hidden_channels=FH, num_heads=HEADS,
+        lmax=LMAX, mmax=MMAX, edge_channels=(16, 16),
+    )
+    t = lambda p: p.detach().numpy()
+    rms = lambda n: {"weight": t(n.affine_weight), "bias": t(n.affine_bias)}
+    mapped = {
+        "EquivariantRMSNorm_0": rms(ref.norm_1),
+        "EquivariantRMSNorm_1": rms(ref.norm_2),
+        "ga": _attention_param_map(ref.ga),
+        "ffn": {
+            "w1": t(ref.ffn.so3_linear_1.weight),
+            "b1": t(ref.ffn.so3_linear_1.bias),
+            "w2": t(ref.ffn.so3_linear_2.weight),
+            "b2": t(ref.ffn.so3_linear_2.bias),
+            "gate_kernel": t(ref.ffn.gating_linear.weight).T,
+            "gate_bias": t(ref.ffn.gating_linear.bias),
+        },
+    }
+    with compute_dtype_scope(jnp.float64):
+        xs_j = jnp.asarray(x_src_np)
+        xt_j = jnp.asarray(x_dst_np)
+        xe_j = jnp.asarray(xe_np)
+        params = ours.init(
+            jax.random.PRNGKey(0), xs_j, xt_j, xe_j, engine, wig_ours
+        )["params"]
+        import chex
+
+        chex.assert_trees_all_equal_structs(mapped, params)
+        got = ours.apply({"params": mapped}, xs_j, xt_j, xe_j, engine, wig_ours)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
 
 
 def test_cpromg_encoder_matches_reference_on_7cff():
