@@ -40,7 +40,18 @@ def main():
     from singa_tpu.models.singa import SINGA, cross_entropy_loss
     from singa_tpu.train.optim import make_optimizer
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # positional args = tokens that are neither --flags nor a --flag's value
+    _VALUED_FLAGS = {"--profile", "--lmax", "--ffn", "--enc-remat", "--remat", "--accum"}
+    args = []
+    skip = False
+    for a in sys.argv[1:]:
+        if skip:
+            skip = False
+            continue
+        if a.startswith("--"):
+            skip = a in _VALUED_FLAGS
+            continue
+        args.append(a)
     batch_size = int(args[0]) if args else 32
     profile_dir = None
     if "--profile" in sys.argv:

@@ -95,3 +95,34 @@ def parse_sdf(path_or_text: str, remove_hs: bool = True) -> Molecule:
 def center_of_mass(mol: Molecule) -> np.ndarray:
     w = np.array([atomic_weight(int(z)) for z in mol.atomic_num])
     return (mol.pos * w[:, None]).sum(axis=0) / w.sum()
+
+
+def write_sdf(
+    mol: Molecule, name: str = "mol", pos: np.ndarray | None = None
+) -> str:
+    """V2000 SDF text block round-trippable through parse_sdf. Aromatic bonds
+    are written as type 4; formal charges as M  CHG lines."""
+    from singa_tpu.chem.periodic import SYMBOLS
+
+    p = mol.pos if pos is None else pos
+    n, m = mol.num_atoms, len(mol.bonds)
+    lines = [name, "  singa_tpu", ""]
+    lines.append(f"{n:3d}{m:3d}  0  0  0  0  0  0  0  0999 V2000")
+    for i in range(n):
+        x, y, z = (float(v) for v in p[i])
+        zi = int(mol.atomic_num[i])
+        sym = SYMBOLS[zi] if 0 < zi < len(SYMBOLS) else "X"
+        lines.append(
+            f"{x:10.4f}{y:10.4f}{z:10.4f} {sym:<3} 0  0  0  0  0  0  0  0  0  0  0  0"
+        )
+    for (i, j), o, ar in zip(mol.bonds, mol.bond_order, mol.bond_aromatic):
+        t = 4 if ar else int(o)
+        lines.append(f"{int(i)+1:3d}{int(j)+1:3d}{t:3d}  0  0  0  0")
+    chg = [(i, int(c)) for i, c in enumerate(mol.formal_charge) if c]
+    for k in range(0, len(chg), 8):
+        seg = chg[k : k + 8]
+        lines.append(
+            "M  CHG" + f"{len(seg):3d}" + "".join(f"{i+1:4d}{c:4d}" for i, c in seg)
+        )
+    lines += ["M  END", "$$$$"]
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,177 @@
+"""Synthesize a reference-scale (>=512 complexes) protein-ligand corpus.
+
+The reference's only recorded training run used 512 CrossDocked graphs
+(/root/reference/utils/Data.py:230, logs/train_2023_10_09__23_23_56/log.txt);
+this environment ships no CrossDocked — only the bundled 7cff complex. This
+tool manufactures complexes entirely in-repo:
+
+  drug SMILES (chem/drug_corpus, ~150 approved drugs)
+    -> 3D conformer (chem/embed3d distance-geometry)
+    -> placed at a sampled surface site of the real 7cff protein
+    -> pose-refined by the native docking engine (singa_tpu/dock, C++ MC)
+    -> written as data/corpus_raw/<drug>_s<site>_ligand.sdf + index.txt
+
+Follow with the normal ETL:
+  python tools/make_dataset.py --index data/corpus_raw/index.txt \
+      --outdir data/corpus --bucket large
+
+Sites are diverse surface points (outward offsets from residue centers,
+greedy max-min selection), so every complex has a distinct pocket despite
+the single source protein. Pose quality bar: physically plausible (native
+Vina-score refined), not crystal-structure accuracy — this is training
+data for the generator, and the Vina label comes from the same scorer
+that would label real data.
+
+Run: python tools/gen_corpus_complexes.py --count 512 \
+         [--protein /root/reference/example/7cff_protein.pdb]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from singa_tpu.chem.drug_corpus import CORPUS  # noqa: E402
+from singa_tpu.chem.embed3d import embed_smiles  # noqa: E402
+from singa_tpu.chem.pdb import PDBProtein  # noqa: E402
+from singa_tpu.chem.sdf import write_sdf  # noqa: E402
+
+
+def surface_sites(prot: PDBProtein, n_sites: int, seed: int = 0) -> np.ndarray:
+    """Diverse pocket centers: residue centers pushed outward along the
+    local-density gradient, filtered to surface-adjacent points, then a
+    greedy max-min subset for diversity."""
+    pos = np.asarray([a.pos for a in prot.atoms], np.float64)
+    res_centers = []
+    for r in prot.residues:
+        c = pos[list(r.atom_indices)].mean(axis=0)
+        res_centers.append(c)
+    res_centers = np.asarray(res_centers)
+
+    cands = []
+    for c in res_centers:
+        d = np.linalg.norm(pos - c, axis=1)
+        nb = pos[d < 8.0]
+        if len(nb) < 5:
+            continue
+        out_dir = c - nb.mean(axis=0)
+        nrm = np.linalg.norm(out_dir)
+        if nrm < 1e-3:
+            continue
+        site = c + out_dir / nrm * 5.0
+        ds = np.linalg.norm(pos - site, axis=1)
+        # surface pocket: not buried, but enough protein around for edges
+        if ds.min() > 2.5 and (ds < 10.0).sum() >= 60:
+            cands.append(site)
+    cands = np.asarray(cands)
+    if len(cands) == 0:
+        raise RuntimeError("no surface sites found")
+
+    rng = np.random.default_rng(seed)
+    picked = [int(rng.integers(len(cands)))]
+    d2 = np.linalg.norm(cands - cands[picked[0]], axis=1)
+    while len(picked) < min(n_sites, len(cands)):
+        nxt = int(np.argmax(d2))
+        picked.append(nxt)
+        d2 = np.minimum(d2, np.linalg.norm(cands - cands[nxt], axis=1))
+    return cands[picked]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--count", type=int, default=512)
+    ap.add_argument(
+        "--protein", default="/root/reference/example/7cff_protein.pdb"
+    )
+    ap.add_argument("--outdir", default="data/corpus_raw")
+    ap.add_argument("--sites", type=int, default=8)
+    ap.add_argument("--exhaustiveness", type=int, default=2)
+    ap.add_argument("--val-frac", type=float, default=0.1)
+    ap.add_argument("--no-dock", action="store_true", help="skip pose refinement")
+    args = ap.parse_args()
+
+    os.makedirs(args.outdir, exist_ok=True)
+    prot = PDBProtein(args.protein)
+    sites = surface_sites(prot, args.sites)
+    print(f"{len(sites)} surface sites on {os.path.basename(args.protein)}")
+
+    dock = None
+    if not args.no_dock:
+        try:
+            from singa_tpu.dock.engine import dock as _dock
+
+            dock = _dock
+        except Exception as e:  # native lib not built
+            print(f"native dock unavailable ({e}); using raw placements")
+
+    pos_all = np.asarray([a.pos for a in prot.atoms], np.float64)
+    index_lines = []
+    n_drugs = len(CORPUS)
+    rng = np.random.default_rng(7)
+    t0 = time.time()
+    made = 0
+    i = 0
+    while made < args.count and i < args.count * 2:
+        name, smi = CORPUS[i % n_drugs]
+        site = sites[(i // n_drugs) % len(sites)]
+        seed = i
+        i += 1
+        tag = f"{name}_s{(seed // n_drugs) % len(sites)}_{seed}"
+        try:
+            mol = embed_smiles(smi, seed=seed)
+            if mol.num_atoms < 4:
+                continue
+            # random orientation, centered at the site
+            q = rng.standard_normal((3, 3))
+            u, _, vt = np.linalg.svd(q)
+            R = u @ vt
+            if np.linalg.det(R) < 0:
+                R[:, 0] *= -1
+            mol.pos = (mol.pos - mol.pos.mean(axis=0)) @ R.astype(np.float32).T + site.astype(
+                np.float32
+            )
+            if dock is not None:
+                # pocket = protein atoms near the site (keeps the C++ pair
+                # loops small); box around the site
+                near = np.linalg.norm(pos_all - site, axis=1) < 14.0
+                idx = np.where(near)[0]
+                pocket = prot.to_molecule(idx)
+                res = dock(
+                    pocket,
+                    mol,
+                    center=site,
+                    box_size=16.0,
+                    exhaustiveness=args.exhaustiveness,
+                    seed=seed,
+                    max_poses=1,
+                )
+                if res:
+                    mol.pos = res[0].pos.astype(np.float32)
+            sdf_path = os.path.join(args.outdir, f"{tag}_ligand.sdf")
+            with open(sdf_path, "w") as f:
+                f.write(write_sdf(mol, name=tag))
+            split = "val" if rng.random() < args.val_frac else "train"
+            index_lines.append(f"{os.path.abspath(args.protein)} {os.path.abspath(sdf_path)} {split}")
+            made += 1
+            if made % 32 == 0:
+                dt = time.time() - t0
+                print(f"{made}/{args.count} complexes ({dt:.0f}s, {dt/made:.2f}s each)")
+        except Exception as e:
+            print(f"skip {tag}: {type(e).__name__}: {e}")
+
+    with open(os.path.join(args.outdir, "index.txt"), "w") as f:
+        f.write("\n".join(index_lines) + "\n")
+    n_val = sum(1 for l in index_lines if l.endswith(" val"))
+    print(
+        f"wrote {made} complexes ({made - n_val} train / {n_val} val) "
+        f"-> {args.outdir}/index.txt in {time.time()-t0:.0f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -121,7 +121,10 @@ def main():
 
     skipped = []
     for p_pdb, l_sdf, split in pairs:
-        name = os.path.basename(p_pdb).replace("_protein.pdb", "").replace(".pdb", "")
+        # name by the LIGAND file: index files may pair many ligands with one
+        # protein (tools/gen_corpus_complexes.py); for --scan pairs the ligand
+        # prefix equals the protein prefix, so this is backward compatible
+        name = os.path.basename(l_sdf).replace("_ligand.sdf", "").replace(".sdf", "")
         outdir = os.path.join(args.outdir, split)
         os.makedirs(outdir, exist_ok=True)
         out = os.path.join(outdir, name + ".npz")
