@@ -153,6 +153,23 @@ class FeedForwardNetwork(nn.Module):
             # reference gating_linear: Linear(C, lmax*H) on the l=0 scalars
             wg = self.param("gate_kernel", torch_linear_kernel_init, (C, self.lmax * H))
             bg = self.param("gate_bias", unif(C), (self.lmax * H,))
+            if _use_pallas():
+                # one fused kernel: the [N, I, H] hidden (686 MB bf16/call at
+                # flagship shapes) never leaves VMEM — the XLA path below
+                # OOM'd flagship batch 32 by 150 MB on exactly those saved
+                # intermediates (round-4 compile log)
+                from singa_tpu.ops.pallas.so3_ffn import so3_gate_ffn_fused
+
+                return so3_gate_ffn_fused(
+                    x.astype(dt),
+                    jnp.swapaxes(w1, 1, 2),  # [L, C, H]
+                    b1,
+                    wg,
+                    bg,
+                    jnp.swapaxes(w2, 1, 2),  # [L, H, Co]
+                    b2,
+                    self.lmax,
+                )
             gating = x[:, 0, :].astype(dt) @ wg.astype(dt) + bg.astype(dt)
             # tag the wide [N, I, H] intermediates so the 's2'/'s2x' remat
             # policies recompute them instead of saving ~700 MB per call

@@ -131,23 +131,42 @@ def build_dst_table(
     return edge_of, kept, dropped
 
 
-def _use_onehot() -> bool:
-    """Per-graph one-hot matmul gathers/scatters are the DEFAULT engine
-    (opt out with SINGA_TPU_EDGE_TABLE=1 for A/B against the table form).
+def _use_onehot(n: Optional[int] = None) -> bool:
+    """Engine choice, SHAPE-DRIVEN per edge op (round-4; the round-3 form
+    was a global env switch).
 
-    Round-3 finding: XLA row gathers on this chip run far below DMA
-    bandwidth and their transposes are HLO scatter-adds (~43 ms/step of the
-    batch-32 flagship profile across the embedding's edge ops). A *per-graph
-    batched* one-hot contraction ``[B,E,N] x [B,N,F]`` is only ~20 GFLOP at
-    those shapes — sub-ms on the MXU — and its transpose is again a matmul,
-    so the whole gather/scatter/softmax family stays on the MXU with no
-    scatters anywhere. (The round-1 one-hot engine was slow because it was
-    GLOBAL ``[B*E, B*N]``: 12x the FLOPs and a ~650 MB one-hot; batching
-    per graph removes both. bench_edge_engines.py compares the forms.)
+    One-hot matmul gathers/scatters are the default engine below
+    ``SINGA_TPU_ONEHOT_MAX_N`` nodes per graph; the table engine takes over
+    above it. Round-3 finding: XLA row gathers on this chip run far below
+    DMA bandwidth and their transposes are HLO scatter-adds (~43 ms/step of
+    the batch-32 flagship profile across the embedding's edge ops). A
+    *per-graph batched* one-hot contraction ``[B,E,N] x [B,N,F]`` is only
+    ~20 GFLOP at those shapes — sub-ms on the MXU — and its transpose is
+    again a matmul, so the whole gather/scatter/softmax family stays on the
+    MXU with no scatters anywhere. (The round-1 one-hot engine was slow
+    because it was GLOBAL ``[B*E, B*N]``: 12x the FLOPs and a ~650 MB
+    one-hot; batching per graph removes both.) But the one-hot FLOPs grow
+    O(E*N) — linear in node count per op — while the table engine is
+    ~O(E + N*K): past a crossover node count the "free" MXU FLOPs stop
+    being free (SURVEY §5.7's scaling axis). The default threshold comes
+    from the measured crossover on this chip (tools/bench_edge_engines.py
+    --nodes sweep, DESIGN.md round-4): one-hot still wins at 1536 nodes,
+    so the default is set above every shipped bucket and the table engine
+    is reachable via env for larger future buckets.
+
+    Env overrides (A/B + forcing): ``SINGA_TPU_EDGE_TABLE=1`` forces the
+    table engine everywhere; ``SINGA_TPU_EDGE_ONEHOT=1`` forces one-hot;
+    ``SINGA_TPU_ONEHOT_MAX_N=<int>`` moves the crossover.
     """
     import os
 
-    return not os.environ.get("SINGA_TPU_EDGE_TABLE")
+    if os.environ.get("SINGA_TPU_EDGE_TABLE"):
+        return False
+    if os.environ.get("SINGA_TPU_EDGE_ONEHOT"):
+        return True
+    if n is None:
+        return True
+    return n <= int(os.environ.get("SINGA_TPU_ONEHOT_MAX_N", "4096"))
 
 
 class EdgeEngine(NamedTuple):
@@ -239,9 +258,10 @@ class EdgeEngine(NamedTuple):
         (8,128)-tile bloat; [N, I*C] keeps lanes full)."""
         orig = x.shape[1:]
         x2 = x.reshape(x.shape[0], -1)
-        if self.src_local is not None and _use_onehot():
+        if self.src_local is not None:
             n = x2.shape[0] // self.src_local.shape[0]
-            return self._oh_gather(x2, self.src_local, n).reshape((-1,) + orig)
+            if _use_onehot(n):
+                return self._oh_gather(x2, self.src_local, n).reshape((-1,) + orig)
         if self.src_of is not None:
             out = _take_rows(x2, self.src_flat, self.src_of)
         else:
@@ -252,9 +272,10 @@ class EdgeEngine(NamedTuple):
     def gather_dst(self, x: jax.Array) -> jax.Array:
         orig = x.shape[1:]
         x2 = x.reshape(x.shape[0], -1)
-        if self.dst_local is not None and _use_onehot():
+        if self.dst_local is not None:
             n = x2.shape[0] // self.dst_local.shape[0]
-            return self._oh_gather(x2, self.dst_local, n).reshape((-1,) + orig)
+            if _use_onehot(n):
+                return self._oh_gather(x2, self.dst_local, n).reshape((-1,) + orig)
         out = _take_rows(x2, self.dst_flat, self.edge_of)
         out = out * self.mask[:, None].astype(out.dtype)
         return out.reshape((-1,) + orig)
@@ -267,7 +288,7 @@ class EdgeEngine(NamedTuple):
         accumulation on the MXU); its backward is the gather matmul."""
         orig = m.shape[1:]
         m2 = m.reshape(m.shape[0], -1)
-        if self.dst_local is not None and _use_onehot():
+        if self.dst_local is not None and _use_onehot(self.edge_of.shape[0] // self.dst_local.shape[0]):
             B, E = self.dst_local.shape
             n_dst = self.edge_of.shape[0] // B
             vb = m2.reshape(B, E, -1)
@@ -298,7 +319,7 @@ class EdgeEngine(NamedTuple):
         g = g.reshape(self.num_dst, -1, *lg.shape[1:])  # [N, K, H]
         mx = jnp.max(g, axis=1)
         mx_safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
-        if self.dst_local is not None and _use_onehot():
+        if self.dst_local is not None and _use_onehot(self.edge_of.shape[0] // self.dst_local.shape[0]):
             B, E = self.dst_local.shape
             n_dst = self.edge_of.shape[0] // B
             mx_e = jnp.take(mx_safe, self.dst_flat, axis=0)  # no-grad path

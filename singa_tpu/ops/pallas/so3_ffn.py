@@ -392,3 +392,179 @@ def _bwd(lmax, interpret, res, dy):
 
 
 so3_ffn_fused.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused GATE-activation FFN (reference use_gate_act, EF_layers.py:220-223 +
+# GateActivation 1683-1733): lin1 -> per-degree sigmoid gates -> lin2, no
+# grid transforms. Same VMEM rationale as the s2 kernel above: the [N, P, H]
+# hidden is 686 MB bf16 per call at flagship shapes, and the XLA gate path
+# OOM'd batch 32 by 150 MB purely on those intermediates (round-4 compile
+# log). Here they never leave VMEM, forward or backward.
+# ---------------------------------------------------------------------------
+
+
+def _gate_ffn_fwd_kernel(
+    lmax, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, w2_ref, b2_ref, y_ref
+):
+    x = x_ref[:]  # [TN, P, C] l-padded
+    dt = x.dtype
+    H = w1_ref.shape[2]
+    blocks, _ = _pad_layout(lmax)
+
+    # gating scalars: [TN, lmax*H]; degree l (>=1) uses columns (l-1)*H:l*H
+    g0 = _mm(x[:, 0, :], wg_ref[:].astype(dt)) + bg_ref[:]
+    gates = _sigmoid(g0).astype(dt)
+
+    outs = []
+    for l, (_, _, ds, blk) in enumerate(blocks):
+        h = _blk_mm(x[:, ds : ds + blk, :], w1_ref[l].astype(dt))  # [TN, blk, H] f32
+        if l == 0:
+            h = jnp.where(_row0(h.shape), _silu(h + b1_ref[:][None, None, :]), 0.0)
+        else:
+            h = h * jnp.expand_dims(gates[:, (l - 1) * H : l * H], 1)
+        y = _blk_mm(h.astype(dt), w2_ref[l].astype(dt))
+        outs.append(y)
+    y = jnp.concatenate(outs, axis=1)
+    y = jnp.where(_row0(y.shape), y + b2_ref[:][None, None, :], y)
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
+def _gate_ffn_bwd_kernel(
+    lmax, x_ref, dy_ref, w1_ref, b1_ref, wg_ref, bg_ref, w2_ref,
+    w1t_ref, w2t_ref, wgt_ref,
+    dx_ref, dw1_ref, db1_ref, dwg_ref, dbg_ref, dw2_ref, db2_ref,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dwg_ref[:] = jnp.zeros_like(dwg_ref)
+        dbg_ref[:] = jnp.zeros_like(dbg_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[:]  # [TN, P, C]
+    dy = dy_ref[:].astype(jnp.float32)
+    dt = x.dtype
+    H = w1_ref.shape[2]
+    blocks, _ = _pad_layout(lmax)
+
+    x0 = x[:, 0, :]
+    g0 = _mm(x0, wg_ref[:].astype(dt)) + bg_ref[:]  # [TN, lmax*H] f32
+    gates_f32 = _sigmoid(g0)
+    gates = gates_f32.astype(dt)
+    db2_ref[:] += jnp.sum(dy[:, 0, :], axis=0)
+
+    dg0_parts = []
+    dx_parts = []
+    for l, (_, _, ds, blk) in enumerate(blocks):
+        xl = x[:, ds : ds + blk, :]
+        dyl = dy[:, ds : ds + blk, :].astype(dt)
+        h = _blk_mm(xl, w1_ref[l].astype(dt))  # [TN, blk, H] f32
+        dmid = _blk_mm(dyl, w2t_ref[l].astype(dt))  # [TN, blk, H] f32
+        if l == 0:
+            hb = h + b1_ref[:][None, None, :]
+            mid = jnp.where(_row0(h.shape), _silu(hb), 0.0).astype(dt)
+            dh = jnp.where(_row0(h.shape), _silu_grad(hb) * dmid, 0.0)
+        else:
+            g_l = jnp.expand_dims(gates[:, (l - 1) * H : l * H], 1)
+            mid = (h * g_l).astype(dt)
+            dh = dmid * g_l
+            # dgate_l = sum over coefficient rows of dmid * h (padded rows
+            # are exact zeros through lin1)
+            dg0_parts.append(jnp.sum(dmid * h, axis=1))  # [TN, H] f32
+        dw2_ref[l] += _blk_outer(mid, dyl)
+        dhc = dh.astype(dt)
+        dw1_ref[l] += _blk_outer(xl, dhc)
+        dx_parts.append(_blk_mm(dhc, w1t_ref[l].astype(dt)))
+        if l == 0:
+            db1_ref[:] += jnp.sum(dh[:, 0, :], axis=0)
+    # gate path: dg0 = sigmoid'(g0) * dgates
+    dgates = jnp.concatenate(dg0_parts, axis=1)  # [TN, lmax*H]
+    dg0 = (gates_f32 * (1.0 - gates_f32) * dgates).astype(dt)
+    dwg_ref[:] += jax.lax.dot_general(
+        x0, dg0, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbg_ref[:] += jnp.sum(dg0.astype(jnp.float32), axis=0)
+    dx0 = _mm(dg0, wgt_ref[:].astype(dt))  # [TN, C]
+    dx = jnp.concatenate(dx_parts, axis=1)
+    dx = jnp.where(_row0(dx.shape), dx + dx0[:, None, :], dx)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def so3_gate_ffn_fused(x, w1, b1, wg, bg, w2, b2, lmax, interpret=False):
+    """Gate-activation FFN as one Pallas kernel.
+
+    x [N, I, C]; w1 [L, C, H]; b1 [H]; wg [C, lmax*H]; bg [lmax*H];
+    w2 [L, H, Co]; b2 [Co]. Returns y [N, I, Co]. Matches the XLA gate path
+    of FeedForwardNetwork (attention.py): the l=0 row is silu(lin1 + b1),
+    degrees l>=1 are lin1 * sigmoid(gating[l-1]) — b1 reaches only the l=0
+    row because add_l0 biases row 0 alone in the XLA form."""
+    n0 = x.shape[0]
+    tn = _tiles(n0)
+    xp = _pad_n(_pad_coeffs(x, lmax), tn)
+    n, p, c = xp.shape
+    grid_dims = (n // tn,)
+    full = lambda a: pl.BlockSpec(a.shape, lambda m: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((tn, p, c), lambda m: (m, 0, 0), memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        functools.partial(_gate_ffn_fwd_kernel, lmax),
+        out_shape=jax.ShapeDtypeStruct((n, p, w2.shape[2]), x.dtype),
+        grid=grid_dims,
+        in_specs=[xspec] + [full(a) for a in (w1, b1, wg, bg, w2, b2)],
+        out_specs=pl.BlockSpec((tn, p, w2.shape[2]), lambda m: (m, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(xp, w1, b1, wg, bg, w2, b2)
+    return _unpad_coeffs(y[:n0], lmax)
+
+
+def _gate_fwd(x, w1, b1, wg, bg, w2, b2, lmax, interpret):
+    y = so3_gate_ffn_fused(x, w1, b1, wg, bg, w2, b2, lmax, interpret)
+    return y, (x, w1, b1, wg, bg, w2)
+
+
+def _gate_bwd(lmax, interpret, res, dy):
+    x, w1, b1, wg, bg, w2 = res
+    n0 = x.shape[0]
+    tn = _tiles(n0, bwd=True)
+    xp = _pad_n(_pad_coeffs(x, lmax), tn)
+    dyp = _pad_n(_pad_coeffs(dy, lmax), tn)
+    n, p, c = xp.shape
+    grid_dims = (n // tn,)
+    full = lambda a: pl.BlockSpec(a.shape, lambda m: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((tn, p, c), lambda m: (m, 0, 0), memory_space=pltpu.VMEM)
+    acc = lambda shape: (
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        pl.BlockSpec(shape, lambda m: (0,) * len(shape), memory_space=pltpu.VMEM),
+    )
+    outs = [
+        (jax.ShapeDtypeStruct(xp.shape, x.dtype),
+         pl.BlockSpec((tn, p, c), lambda m: (m, 0, 0), memory_space=pltpu.VMEM)),
+        acc(w1.shape), acc(b1.shape), acc(wg.shape), acc(bg.shape),
+        acc(w2.shape), acc((w2.shape[2],)),
+    ]
+    w1t = jnp.swapaxes(w1, 1, 2)
+    w2t = jnp.swapaxes(w2, 1, 2)
+    wgt = wg.T
+    dx, dw1, db1, dwg, dbg, dw2, db2 = pl.pallas_call(
+        functools.partial(_gate_ffn_bwd_kernel, lmax),
+        out_shape=tuple(o[0] for o in outs),
+        grid=grid_dims,
+        in_specs=[xspec, xspec]
+        + [full(a) for a in (w1, b1, wg, bg, w2, w1t, w2t, wgt)],
+        out_specs=tuple(o[1] for o in outs),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(xp, dyp, w1, b1, wg, bg, w2, w1t, w2t, wgt)
+    cast = lambda g, pm: g.astype(pm.dtype)
+    return (
+        _unpad_coeffs(dx[:n0], lmax),
+        cast(dw1, w1), cast(db1, b1), cast(dwg, wg), cast(dbg, bg),
+        cast(dw2, w2), db2.astype(w2.dtype),
+    )
+
+
+so3_gate_ffn_fused.defvjp(_gate_fwd, _gate_bwd)

@@ -9,7 +9,10 @@ wired in the loop).
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
+import subprocess
+import sys
 from typing import Any, Optional
 
 import orbax.checkpoint as ocp
@@ -71,6 +74,39 @@ class CheckpointManager:
 
 
 def save_config(directory: str, cfg: Config) -> None:
+    """Snapshot the config AND the code provenance into the run dir.
+
+    The reference copies its whole model/ source tree into every run dir
+    (train.py:57-58) — good provenance, heavy artifact. We record the exact
+    git commit (+dirty diffstat), package version and jax version instead:
+    enough to reproduce the code state without megabytes per run."""
     os.makedirs(directory, exist_ok=True)
     with open(os.path.join(directory, "config.yml"), "w") as f:
         yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)
+    with open(os.path.join(directory, "provenance.json"), "w") as f:
+        json.dump(_provenance(), f, indent=1)
+
+
+def _provenance() -> dict:
+    import jax
+
+    import singa_tpu
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    info: dict = {
+        "singa_tpu_version": getattr(singa_tpu, "__version__", "unknown"),
+        "jax_version": jax.__version__,
+        "argv": sys.argv,
+    }
+    try:
+        def _git(*args):
+            return subprocess.run(
+                ("git", "-C", repo) + args, capture_output=True, text=True, timeout=10
+            ).stdout.strip()
+
+        info["git_commit"] = _git("rev-parse", "HEAD")
+        dirty = _git("diff", "--stat", "HEAD")
+        info["git_dirty"] = dirty.splitlines()[-1] if dirty else ""
+    except Exception as e:  # not a git checkout (installed package)
+        info["git_commit"] = f"unavailable: {type(e).__name__}"
+    return info

@@ -516,6 +516,9 @@ def main(argv=None):
         grammar_mask=args.grammar_mask,
     )
     state = trainer.init(jax.random.PRNGKey(args.seed + 1), g_params, batch)
+    from singa_tpu.train.checkpointing import save_config
+
+    save_config(args.logdir, cfg)
     writer = MetricsWriter(args.logdir)
     t0 = time.time()
     for r in range(1, args.rounds + 1):

@@ -344,6 +344,52 @@ def test_pallas_so3_ffn_fused_parity():
         )
 
 
+def test_pallas_so3_gate_ffn_fused_parity():
+    """Fused gate-FFN kernel (interpret mode) == the XLA gate path of
+    FeedForwardNetwork: forward and gradients for input + every param."""
+    from singa_tpu.equivariant.layers import add_l0, gate_activation
+    from singa_tpu.ops.pallas.so3_ffn import so3_gate_ffn_fused
+
+    lmax, C, H, Co, N = 3, 4, 256, 4, 40
+    L = lmax + 1
+    I = (lmax + 1) ** 2
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.normal(size=(N, I, C)).astype(np.float32))
+    w1 = jnp.asarray(0.2 * rng.normal(size=(L, C, H)).astype(np.float32))
+    b1 = jnp.asarray(0.1 * rng.normal(size=(H,)).astype(np.float32))
+    wg = jnp.asarray(0.2 * rng.normal(size=(C, lmax * H)).astype(np.float32))
+    bg = jnp.asarray(0.1 * rng.normal(size=(lmax * H,)).astype(np.float32))
+    w2 = jnp.asarray(0.1 * rng.normal(size=(L, H, Co)).astype(np.float32))
+    b2 = jnp.asarray(0.1 * rng.normal(size=(Co,)).astype(np.float32))
+
+    l_of = np.asarray([l for l in range(L) for _ in range(2 * l + 1)])
+
+    def ref(x, w1, b1, wg, bg, w2, b2):
+        gating = x[:, 0, :] @ wg + bg
+        w1e = jnp.take(jnp.swapaxes(w1, 1, 2), l_of, axis=0)  # [I, H, C]
+        h = add_l0(jnp.einsum("nic,ioc->nio", x, w1e), b1)
+        h = gate_activation(gating, h, lmax, lmax)
+        w2e = jnp.take(w2, l_of, axis=0)  # [I, H, Co]
+        return add_l0(jnp.einsum("nio,ioc->nic", h, w2e), b2)
+
+    def fused(x, w1, b1, wg, bg, w2, b2):
+        return so3_gate_ffn_fused(x, w1, b1, wg, bg, w2, b2, lmax, True)
+
+    args = (x, w1, b1, wg, bg, w2, b2)
+    y_ref = ref(*args)
+    y = fused(*args)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=3e-5, rtol=1e-5)
+
+    ct = jnp.asarray(rng.normal(size=y_ref.shape).astype(np.float32))
+    g_ref = jax.grad(lambda *a: jnp.vdot(ref(*a), ct), argnums=tuple(range(7)))(*args)
+    g = jax.grad(lambda *a: jnp.vdot(fused(*a), ct), argnums=tuple(range(7)))(*args)
+    names = ["x", "w1", "b1", "wg", "bg", "w2", "b2"]
+    for name, a, b in zip(names, g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4, err_msg=name
+        )
+
+
 def test_pallas_so2_attn_fused_parity():
     """Fused rotate+SO2conv+sepS2+SO2conv kernel (interpret mode) == the
     composed XLA chain: forward, and gradients for every differentiable

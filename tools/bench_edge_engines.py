@@ -31,7 +31,16 @@ def timeit(fn, *args, iters=20, name=""):
 
 
 def main():
-    B, N, E, K = 32, 448, 992, 8
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=448, help="nodes per graph (flagship intra pass: 448; SURVEY 5.7 buckets: 768/1536)")
+    ap.add_argument("--edges", type=int, default=0, help="edges per graph (default ~2.2x nodes, the covalent-graph ratio)")
+    ap.add_argument("--batch", type=int, default=32)
+    a = ap.parse_args()
+    B, N, K = a.batch, a.nodes, 8
+    E = a.edges or int(2.215 * N)
+    print(f"B={B} N={N} E={E} K={K}", file=sys.stderr)
     F = 49 * 16
     rng = np.random.default_rng(0)
     src = rng.integers(0, N, size=(B, E)).astype(np.int32)
