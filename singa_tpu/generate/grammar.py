@@ -89,12 +89,23 @@ def _atom_capacity(tok: str) -> int:
     return max(cap, 1)  # never fully forbid an atom the vocab offers
 
 
+def _is_aromatic_token(tok: str) -> bool:
+    """Lowercase-element atom tokens: c n o p s se, bracketed or not."""
+    if tok.startswith("["):
+        m = _BRACKET_RE.match(tok)
+        el = m.group("el") if m else ""
+        return bool(el) and el.islower()
+    return tok in ("c", "n", "o", "p", "s")
+
+
 def _build_tables():
     V = len(SMI_VOCAB)
     cls = np.full(V, ATOM, np.int32)
     cap = np.zeros(V, np.int32)
     order = np.zeros(V, np.int32)
     digit = np.zeros(V, np.int32)
+    arom = np.zeros(V, np.int32)
+    plain_c = np.zeros(V, np.int32)
     for i, tok in enumerate(SMI_VOCAB):
         if i == SOS_TOKEN:
             cls[i] = SOS
@@ -123,14 +134,17 @@ def _build_tables():
         else:
             cls[i] = ATOM
             cap[i] = _atom_capacity(tok)
-    return cls, cap, order, digit
+            arom[i] = int(_is_aromatic_token(tok))
+            plain_c[i] = int(tok == "c")
+    return cls, cap, order, digit, arom, plain_c
 
 
 # Kept as NUMPY at module level: this module is imported lazily from inside
 # jitted functions (train/gan.py sample_sequences), and jnp.asarray at import
 # time would then create leaked tracers. jnp conversion happens per-use
 # below (a free constant inside jit).
-TOKEN_CLASS, ATOM_CAPACITY, BOND_ORDER, RING_DIGIT = _build_tables()
+(TOKEN_CLASS, ATOM_CAPACITY, BOND_ORDER, RING_DIGIT,
+ IS_AROMATIC, IS_PLAIN_C) = _build_tables()
 
 
 class GrammarState(NamedTuple):
@@ -144,6 +158,11 @@ class GrammarState(NamedTuple):
     atom_n: jax.Array  # [...] int32 atoms emitted so far
     astack: jax.Array  # [..., MAX_DEPTH] int32 saved cur_atom per branch
     ring_atom: jax.Array  # [..., 9] int32 atom id that opened ring digit d
+    # aromatic-ring feasibility (round 4, the kekulisation rules):
+    cur_arom: jax.Array  # [...] int32 current attachment atom is aromatic
+    ring_cnt: jax.Array  # [..., 9] int32 atoms emitted since digit d opened
+    ring_arom: jax.Array  # [..., 9] int32 digit d opened on an aromatic atom
+    ring_pure: jax.Array  # [..., 9] int32 branch-free all-plain-'c' chain so far
 
 
 def init_state(shape: tuple[int, ...]) -> GrammarState:
@@ -158,6 +177,10 @@ def init_state(shape: tuple[int, ...]) -> GrammarState:
         atom_n=jnp.zeros(shape, jnp.int32),
         astack=jnp.full(shape + (MAX_DEPTH,), -1, jnp.int32),
         ring_atom=jnp.full(shape + (9,), -2, jnp.int32),
+        cur_arom=jnp.zeros(shape, jnp.int32),
+        ring_cnt=jnp.zeros(shape + (9,), jnp.int32),
+        ring_arom=jnp.zeros(shape + (9,), jnp.int32),
+        ring_pure=jnp.zeros(shape + (9,), jnp.int32),
     )
 
 
@@ -223,6 +246,26 @@ def allowed_tokens(state: GrammarState, allow_dot: bool = True,
     opener = jnp.take(state.ring_atom, didx, axis=-1)  # [..., V]
     ok_digit = ok_digit & ~(is_open & (opener == state.cur_atom[..., None]))
 
+    # --- aromatic-ring feasibility (kekulisation rules, round 4) ---
+    # An AROMATIC closure (opener aromatic & closer aromatic & no explicit
+    # bond) of ring digit d is infeasible when:
+    #   * fewer than 4 atoms were emitted since d opened (true ring size <=
+    #     cnt+1 <= 4: no aromatic 3/4-rings kekulise in the neutral vocab);
+    #   * the chain since d opened is branch-free and ALL plain 'c' with
+    #     cnt in {4, 6}: exactly c1cccc1 / c1cccccc1 — cyclopentadienyl /
+    #     tropylium need a charged bracket atom, which resets ring_pure.
+    # cnt counts every atom since the opener, so cnt >= true size - 1 and
+    # the <4 rule never blocks a genuinely >=5 ring (permissive-safe); the
+    # pure-chain rules fire only when cnt is exact (no branches).
+    cnt = jnp.take(state.ring_cnt, didx, axis=-1)  # [..., V]
+    op_arom = jnp.take(state.ring_arom, didx, axis=-1) > 0
+    pure = jnp.take(state.ring_pure, didx, axis=-1) > 0
+    arom_closure = (
+        is_open & op_arom & (state.cur_arom[..., None] > 0) & (pend == 0)
+    )
+    bad_size = (cnt < 4) | (pure & ((cnt == 4) | (cnt == 6)))
+    ok_digit = ok_digit & ~(arom_closure & bad_size)
+
     ok_dot = (
         (cls == DOT) & after_atomish & (depth == 0) & (pend == 0)
         & jnp.asarray(allow_dot)
@@ -233,6 +276,13 @@ def allowed_tokens(state: GrammarState, allow_dot: bool = True,
     )
 
     allowed = ok_atom | ok_bond | ok_open | ok_close | ok_digit | ok_dot | ok_eos
+    # An aromatic atom emitted with NO ring open must open a ring digit NOW:
+    # OpenSMILES puts ring-bond digits directly after the atom (before
+    # branches), and every aromatic atom must sit in a ring — either some
+    # digit was open when it was emitted, or it is a ring opener itself.
+    # Forcing DIGIT here prunes un-kekulisable strays like "cC" / "c(...)".
+    must_ring = (last == ATOM) & (state.cur_arom[..., None] > 0) & (rings == 0)
+    allowed = allowed & jnp.where(must_ring, cls == DIGIT, True)
     # Safety valve: if a beam paints itself into a corner (possible only via
     # the permissive approximations), fall back to EOS rather than NEG-inf
     # everything, which would poison the whole beam's log-probs.
@@ -309,6 +359,35 @@ def update(state: GrammarState, tok: jax.Array) -> GrammarState:
         state.ring_atom,
     )
 
+    # --- aromatic-ring feasibility tracking ---
+    # cur_arom: 0 = not aromatic, 1 = aromatic (bracket/heteroatom),
+    # 2 = plain 'c'. NOT saved through the branch stack: the only position
+    # where a stale value could block (a ring closure after ')') requires an
+    # explicit bond token in between, and pending != 0 already escapes the
+    # aromatic-closure rule — every other stale read is on the permissive
+    # side or unreachable (ok_digit excludes last == CLOSE).
+    tok_arom = (jnp.asarray(IS_AROMATIC) + jnp.asarray(IS_PLAIN_C))[tok]
+    new_cur_arom = jnp.where(is_atom, tok_arom, state.cur_arom)
+    new_cur_arom = jnp.where(is_dot, 0, new_cur_arom)
+
+    open_bits = (state.rings[..., None] >> jnp.arange(9)) & 1  # [..., 9] (pre-step)
+    new_ring_cnt = state.ring_cnt + is_atom[..., None].astype(jnp.int32) * open_bits
+    # branch/explicit-bond tokens make the chain inexact -> drop purity
+    # (permissive); non-'c' atoms break the all-plain-c condition.
+    impure = (is_open | is_bond)[..., None] | (
+        is_atom[..., None] & (tok_arom[..., None] != 2)
+    )
+    new_ring_pure = state.ring_pure * (1 - impure.astype(jnp.int32))
+    # freshly-opened digit: reset its slot from the opener atom
+    fresh = (opening[..., None] * slot) > 0
+    new_ring_cnt = jnp.where(fresh, 0, new_ring_cnt)
+    new_ring_arom = jnp.where(
+        fresh, (state.cur_arom > 0).astype(jnp.int32)[..., None], state.ring_arom
+    )
+    new_ring_pure = jnp.where(
+        fresh, (state.cur_arom == 2).astype(jnp.int32)[..., None], new_ring_pure
+    )
+
     return GrammarState(
         depth=new_depth,
         rings=new_rings,
@@ -320,6 +399,10 @@ def update(state: GrammarState, tok: jax.Array) -> GrammarState:
         atom_n=new_atom_n,
         astack=new_astack,
         ring_atom=new_ring_atom,
+        cur_arom=new_cur_arom,
+        ring_cnt=new_ring_cnt,
+        ring_arom=new_ring_arom,
+        ring_pure=new_ring_pure,
     )
 
 

@@ -257,3 +257,60 @@ def test_capacity_table_spot_values():
     assert v["[C@@H]"] == 3
     assert v["[B-]"] == 4  # borate binds four
     assert v["[2H]"] == 1
+
+
+# --- aromatic-ring feasibility (round-4 kekulisation rules) ---
+
+
+@pytest.mark.parametrize(
+    "smi",
+    [
+        "c1ccccc1",          # benzene
+        "c1ccncc1",          # pyridine
+        "c1cc[nH]c1",        # pyrrole
+        "c1ccoc1",           # furan
+        "c1ccsc1",           # thiophene
+        "c1ccc2ccccc2c1",    # naphthalene
+        "Cc1ccccc1",         # toluene
+        "c1ccc(-c2ccccc2)cc1",  # biphenyl (explicit single bond)
+        "c1ccc2[nH]ccc2c1",  # indole
+        "O=C(O)c1ccccc1O",   # salicylic acid
+        "c1cnc2[nH]ccc2c1",  # azaindole
+        "C1CC1",             # cyclopropane (non-aromatic 3-ring stays legal)
+        "C1CCC1",            # cyclobutane
+    ],
+)
+def test_aromatic_valids_still_admitted(smi):
+    assert _admits(smi), _trace(smi)
+
+
+@pytest.mark.parametrize(
+    "prefix, bad_tok",
+    [
+        ("c1c", "1"),        # aromatic 3-ring
+        ("c1cc", "1"),       # aromatic 4-ring
+        ("c1cnc", "1"),      # aromatic 4-ring w/ heteroatom
+        ("c1cccc", "1"),     # cyclopentadienyl: all-plain-c 5-ring
+        ("c1cccccc", "1"),   # tropylium: all-plain-c 7-ring
+        ("c", "C"),          # stray aromatic atom must open a ring digit
+        ("c", "("),
+        ("Cc1ccccc1c", "C"), # stray aromatic after a closed ring
+    ],
+)
+def test_kekulisation_traps_pruned(prefix, bad_tok):
+    state = grammar.init_state(())
+    for tid in _ids(prefix):
+        state = grammar.update(state, jnp.asarray(tid))
+    ok = grammar.allowed_tokens(state)
+    assert not bool(ok[SMI_VOCAB.index(bad_tok)]), _trace(prefix + bad_tok)
+
+
+@pytest.mark.parametrize(
+    "smi",
+    [
+        "c1cc[c-]c1",        # cyclopentadienyl anion: bracket resets purity
+        "c1ccc(C)c1C",       # 5-ring with branch: purity dropped, admitted
+    ],
+)
+def test_charged_or_branched_aromatic_5ring_admitted(smi):
+    assert _admits(smi), _trace(smi)
