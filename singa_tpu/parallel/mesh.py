@@ -50,9 +50,26 @@ def shard_batch(batch: Any, mesh: Mesh, data_axis: str = "data") -> Any:
 
 
 # Parameter tensor-parallel rules: path-regex -> PartitionSpec factory.
-# Large CProMG kernels are sharded over the model axis; everything else is
-# replicated. Column-parallel on the output dim for up-projections, vocab
-# projection and attention QKV; row-parallel for down-projections.
+# Large CProMG kernels AND the equivariant stack are sharded over the model
+# axis; everything else is replicated. Column-parallel on the output dim for
+# up-projections, vocab projection and attention QKV; row-parallel for
+# down-projections. Dims that do not divide the axis fall back to replication
+# (param_sharding's divisibility check).
+#
+# Equivariant-stack notes (round 4, VERDICT #5):
+#  * SO2 conv (attention.py so2_conv_1/2): w_m* are [in, out] 2-D mats per
+#    order m; conv1 column-parallel (with its bias), conv2 row-parallel —
+#    the activation between them is elementwise per (coefficient, channel),
+#    so a channel shard flows through the separable S2 activation.
+#  * Equivariant FFN: w1 [L, H, C] shards the hidden H (out dim, column),
+#    w2 [L, Co, H] shards H on the in dim (row), gate_kernel [C, lmax*H]
+#    shards the gate outputs. On real multi-chip TPU the fused Pallas FFN
+#    kernels are unpartitioned custom calls — XLA all-gathers these (small)
+#    weights at the kernel boundary; the XLA path (CPU dryrun,
+#    SINGA_TPU_NO_PALLAS=1) shards the actual matmuls.
+#  * RadialMLP layers inside so2_conv_1 are matched by the Dense rules of
+#    their parent scope only when wide enough to divide; vocab-size (116)
+#    projections fall back to replication via the divisibility check.
 _TP_RULES: list[tuple[str, Any]] = [
     (r".*decoder.*conv1/.*Dense.*/kernel", lambda ax: P(None, ax)),
     (r".*decoder.*conv2/.*Dense.*/kernel", lambda ax: P(ax, None)),
@@ -60,6 +77,15 @@ _TP_RULES: list[tuple[str, Any]] = [
     (r".*pos_ffn/conv2/.*Dense.*/kernel", lambda ax: P(ax, None)),
     (r".*projection/.*Dense.*/kernel", lambda ax: P(None, ax)),
     (r".*W_[QKV]/.*Dense.*/kernel", lambda ax: P(None, ax)),
+    # --- equivariant stack ---
+    (r".*so2_conv_1/w_m\d+", lambda ax: P(None, ax)),
+    (r".*so2_conv_1/b_m0", lambda ax: P(ax)),
+    (r".*so2_conv_2/w_m\d+", lambda ax: P(ax, None)),
+    (r".*/ffn/w1", lambda ax: P(None, ax, None)),
+    (r".*/ffn/w2", lambda ax: P(None, None, ax)),
+    (r".*/ffn/gate_kernel", lambda ax: P(None, ax)),
+    (r".*/ffn/gate_bias", lambda ax: P(ax)),
+    (r".*/ffn/b1", lambda ax: P(ax)),
 ]
 
 
