@@ -469,6 +469,17 @@ def main(argv=None):
     ap.add_argument("--d-steps", type=int, default=1)
     ap.add_argument("--g-steps", type=int, default=1)
     ap.add_argument("--pretrain", type=int, default=0, help="CE warmup steps")
+    ap.add_argument(
+        "--init-ckpt", type=str, default=None,
+        help="train-run dir (or its checkpoints/ subdir) to restore the "
+        "pretrained generator from — BASELINE configs[3]: full CE pretrain "
+        "then adversarial finetune",
+    )
+    ap.add_argument(
+        "--eval-every", type=int, default=0,
+        help="every N rounds, decode a sample batch and log "
+        "validity/uniqueness/QED/SA to metrics.jsonl (quality trajectory)",
+    )
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--graph-loss", type=str, default="bce", choices=["bce", "wgan-gp"])
     ap.add_argument("--no-graph-disc", action="store_true")
@@ -491,6 +502,21 @@ def main(argv=None):
     model = SINGA(cfg)
     key = jax.random.PRNGKey(args.seed)
     g_params = jax.jit(model.init)(key, batch)
+
+    if args.init_ckpt:
+        from singa_tpu.train.checkpointing import CheckpointManager
+        from singa_tpu.train.optim import make_optimizer
+
+        d = args.init_ckpt
+        if os.path.isdir(os.path.join(d, "checkpoints")):
+            d = os.path.join(d, "checkpoints")
+        opt_like = make_optimizer(cfg.train.optimizer).init(g_params)
+        mgr = CheckpointManager(d)
+        restored = mgr.restore(g_params, opt_like)
+        assert restored is not None, f"no checkpoint under {d}"
+        step0, g_params, _, _ = restored
+        mgr.close()
+        print(f"restored generator from {d} @ step {step0}")
 
     if args.pretrain:
         opt = optax.adam(1e-4)
@@ -520,12 +546,30 @@ def main(argv=None):
 
     save_config(args.logdir, cfg)
     writer = MetricsWriter(args.logdir)
+
+    sample_jit = jax.jit(
+        lambda p, e, pd, pr, k: sample_sequences(
+            trainer.model, p, e, pd, pr, k, cfg.model.decoder.tgt_len,
+            grammar_mask=args.grammar_mask,
+        )
+    )
+
+    def sample_quality(params, k):
+        """validity/uniqueness/QED/SA of a decoded sample batch (host)."""
+        enc, pad, prop = trainer._encode(params, batch)
+        tokens, _ = sample_jit(params, enc, pad, prop, k)
+        return validity_stats(np.asarray(tokens))
+
     t0 = time.time()
     for r in range(1, args.rounds + 1):
         key, sub = jax.random.split(key)
         state, metrics = trainer.train_round(
             state, next(it), sub, args.d_steps, args.g_steps
         )
+        if args.eval_every and (r == 1 or r % args.eval_every == 0):
+            key, sub = jax.random.split(key)
+            q = sample_quality(state.g_params, sub)
+            metrics.update({f"quality/{k}": v for k, v in q.items()})
         writer.write(r, **metrics)
         if r == 1 or r % 5 == 0:
             print(
@@ -534,16 +578,9 @@ def main(argv=None):
                 + f" ({(time.time()-t0)/r:.1f}s/round)"
             )
     # final sample quality report
-    enc, pad, prop = trainer._encode(state.g_params, batch)
-    tokens, _ = jax.jit(
-        lambda p, e, pd, pr, k: sample_sequences(
-            trainer.model, p, e, pd, pr, k, cfg.model.decoder.tgt_len,
-            grammar_mask=args.grammar_mask,
-        )
-    )(state.g_params, enc, pad, prop, key)
-    stats = validity_stats(np.asarray(tokens))
+    stats = sample_quality(state.g_params, key)
     print("sample stats:", stats)
-    writer.write(args.rounds + 1, **{f"gan/{k}": v for k, v in stats.items()})
+    writer.write(args.rounds + 1, **{f"quality/{k}": v for k, v in stats.items()})
     writer.close()
 
 

@@ -45,13 +45,48 @@ def main():
     # hand-rolled parsing swallowed option VALUES as positionals: --pretrain
     # 200 silently became num_beams=200 — a 10x-too-wide beam.)
     ap.add_argument("--no-mask", action="store_true")
+    # ---- 10k-ligand sweep mode (BASELINE configs[4]) ----
+    ap.add_argument("--num", type=int, default=0,
+                    help="decode this many TOTAL molecules (looped batches)")
+    ap.add_argument("--ckpt", type=str, default=None,
+                    help="train-run dir to restore the generator from")
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--data", type=str, default=None,
+                    help="npz shard dir: decode from its REAL pockets "
+                    "(cycled) instead of synthetic ones")
+    ap.add_argument("--csv", type=str, default=None,
+                    help="write per-molecule smiles/valid/qed/sa/filter rows")
+    ap.add_argument("--topk", type=int, default=1, help="beams kept per pocket")
     a = ap.parse_args()
     B, beams, pretrain, mask = a.batch_size, a.num_beams, a.pretrain, not a.no_mask
-    cfg = Config()
+    from singa_tpu.config import load_config
+
+    cfg = load_config(a.config) if a.config else Config()
     set_compute_dtype(cfg.train.compute_dtype)
-    batch = synthetic_batch(0, batch_size=B, shapes=cfg.shapes, tgt_len=cfg.model.decoder.tgt_len)
+    data_it = None
+    if a.data:
+        from singa_tpu.data.dataset import NpzDataset
+
+        data_it = iter(NpzDataset(a.data, B, shuffle=False))  # endless epochs
+        batch = next(data_it)
+    else:
+        batch = synthetic_batch(0, batch_size=B, shapes=cfg.shapes, tgt_len=cfg.model.decoder.tgt_len)
     model = SINGA(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    if a.ckpt:
+        from singa_tpu.train.checkpointing import CheckpointManager
+        from singa_tpu.train.optim import make_optimizer
+
+        d = a.ckpt
+        if os.path.isdir(os.path.join(d, "checkpoints")):
+            d = os.path.join(d, "checkpoints")
+        mgr = CheckpointManager(d)
+        restored = mgr.restore(params, make_optimizer(cfg.train.optimizer).init(params))
+        assert restored is not None, f"no checkpoint under {d}"
+        step0, params, _, _ = restored
+        mgr.close()
+        print(f"restored generator from {d} @ step {step0}", file=sys.stderr)
 
     if pretrain:
         # brief CE pretraining on drug-SMILES targets (chem/drug_corpus.py):
@@ -106,11 +141,12 @@ def main():
             num_beams=beams,
             max_length=cfg.generate.max_length,
             length_penalty=cfg.generate.length_penalty,
-            topk=1,
+            topk=a.topk,
             grammar_mask=mask,
             allow_dot=False,
         )
     )
+    encode = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))
 
     t0 = time.time()
     tokens, scores = run(params, enc, pad, prop)
@@ -123,7 +159,7 @@ def main():
         tokens, scores = run(params, enc, pad, prop)
     jax.block_until_ready(tokens)
     dt = (time.time() - t0) / iters
-    mps = B / dt
+    mps = B * a.topk / dt
     print(f"{dt*1000:.0f} ms/batch ({mps:.2f} molecules/s, beam {beams})", file=sys.stderr)
 
     # generation-quality metrics via the in-repo SMILES reader (VERDICT #5):
@@ -132,29 +168,82 @@ def main():
     from singa_tpu.chem.smiles_parser import parse_smiles
     from singa_tpu.chem.tokenizer import decode
 
-    smiles = [decode(t) for t in np.asarray(tokens).reshape(-1, tokens.shape[-1])]
+    all_tokens = [np.asarray(tokens)]
+    if a.num:
+        # ---- BASELINE configs[4]: the N-ligand sweep (default N=10k via
+        # --num 10000) with SA/QED filter statistics on the host parser ----
+        per_batch = B * a.topk
+        n_batches = max(0, -(-a.num // per_batch) - 1)  # first batch done
+        t0 = time.time()
+        for bi in range(n_batches):
+            if data_it is not None:
+                b = next(data_it)
+            else:
+                b = synthetic_batch(
+                    bi + 1, batch_size=B, shapes=cfg.shapes,
+                    tgt_len=cfg.model.decoder.tgt_len,
+                )
+            e_i, pad_i = encode(params, b)
+            tk, _ = run(params, e_i, pad_i, prop)
+            all_tokens.append(np.asarray(tk))
+            if (bi + 1) % 20 == 0:
+                done = (bi + 2) * per_batch
+                el = time.time() - t0
+                print(f"  sweep {done}/{a.num} ({done/el:.1f} mol/s incl. "
+                      "encode+host)", file=sys.stderr)
+        sweep_dt = time.time() - t0
+        if n_batches:
+            print(f"sweep throughput {(n_batches*per_batch)/sweep_dt:.2f} "
+                  "mol/s (encode + decode + host transfer)", file=sys.stderr)
+
+    tok_arr = np.concatenate([t.reshape(-1, t.shape[-1]) for t in all_tokens])
+    smiles = [decode(t) for t in tok_arr]
     valid, qeds, sas = [], [], []
     errs = []
+    rows = []
     for smi in smiles:
         try:
             mol = parse_smiles(smi)
+            q, s = qed(mol), sa_score(mol)
             valid.append(smi)
-            qeds.append(qed(mol))
-            sas.append(sa_score(mol))
+            qeds.append(q)
+            sas.append(s)
+            rows.append((smi, 1, q, s))
         except Exception as e:  # noqa: BLE001
             errs.append((smi, str(e)))
+            rows.append((smi, 0, float("nan"), float("nan")))
     for smi, err in errs[:4]:
         print(f"  invalid: {smi[:60]!r}: {err[:60]}", file=sys.stderr)
     for smi in valid[:4]:
         print(f"  valid:   {smi[:60]!r}", file=sys.stderr)
     pct_valid = 100.0 * len(valid) / max(len(smiles), 1)
     pct_unique = 100.0 * len(set(valid)) / max(len(valid), 1)
+    # the reference's property thresholds (models/singa.py binarize_props):
+    # QED >= 0.6, SAS <= 4.0 — the configs[4] sweep's filter pass-rates
+    qa = np.asarray(qeds) if qeds else np.zeros(0)
+    sa = np.asarray(sas) if sas else np.zeros(0)
+    pass_qed = 100.0 * float((qa >= 0.6).mean()) if len(qa) else 0.0
+    pass_sa = 100.0 * float((sa <= 4.0).mean()) if len(sa) else 0.0
+    pass_both = (
+        100.0 * float(((qa >= 0.6) & (sa <= 4.0)).mean()) if len(qa) else 0.0
+    )
     print(
-        f"valid {pct_valid:.1f}% unique {pct_unique:.1f}% "
+        f"n={len(smiles)} valid {pct_valid:.1f}% unique {pct_unique:.1f}% "
         f"mean QED {np.mean(qeds) if qeds else 0:.3f} "
-        f"mean SA {np.mean(sas) if sas else 0:.2f}",
+        f"mean SA {np.mean(sas) if sas else 0:.2f} | filters (of valid): "
+        f"QED>=0.6 {pass_qed:.1f}%  SA<=4 {pass_sa:.1f}%  both {pass_both:.1f}%",
         file=sys.stderr,
     )
+    if a.csv:
+        import csv as _csv
+
+        with open(a.csv, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["smiles", "valid", "qed", "sa", "pass_filter"])
+            for smi, ok, q, s in rows:
+                w.writerow([smi, ok, f"{q:.4f}", f"{s:.3f}",
+                            int(ok and q >= 0.6 and s <= 4.0)])
+        print(f"wrote {len(rows)} rows -> {a.csv}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -163,8 +252,12 @@ def main():
                 "unit": "molecules/s",
                 "num_beams": beams,
                 "grammar_mask": mask,
+                "n_decoded": len(smiles),
                 "pct_valid": round(pct_valid, 2),
                 "pct_unique": round(pct_unique, 2),
+                "pass_qed": round(pass_qed, 2),
+                "pass_sa": round(pass_sa, 2),
+                "pass_both": round(pass_both, 2),
             }
         )
     )
