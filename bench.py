@@ -41,7 +41,10 @@ def main():
     from singa_tpu.train.optim import make_optimizer
 
     # positional args = tokens that are neither --flags nor a --flag's value
-    _VALUED_FLAGS = {"--profile", "--lmax", "--ffn", "--enc-remat", "--remat", "--accum"}
+    _VALUED_FLAGS = {
+        "--profile", "--lmax", "--ffn", "--enc-remat", "--remat", "--accum",
+        "--data",
+    }
     args = []
     skip = False
     for a in sys.argv[1:]:
@@ -121,9 +124,27 @@ def main():
         micro = min(batch_size, int(sys.argv[sys.argv.index("--accum") + 1]))
     n_micro = batch_size // micro
     assert batch_size % micro == 0
-    batch = synthetic_batch(
-        0, batch_size=batch_size, shapes=cfg.shapes, tgt_len=cfg.model.decoder.tgt_len
-    )
+    # --data <dir>: time the REAL input pipeline (npz load + collate +
+    # Prefetcher + device_put) instead of a resident synthetic batch — the
+    # round-3 verdict's "measured through the Prefetcher" criterion. The
+    # timed loop below pulls a fresh batch from the prefetch queue every
+    # step, so any host-pipeline stall shows up in graphs/s.
+    data_stream = None
+    if "--data" in sys.argv:
+        from singa_tpu.data.dataset import NpzDataset
+        from singa_tpu.data.pipeline import Prefetcher
+
+        root = sys.argv[sys.argv.index("--data") + 1]
+        train_dir = os.path.join(root, "train")
+        if not os.path.isdir(train_dir):
+            train_dir = root
+        ds = NpzDataset(train_dir, batch_size)
+        data_stream = iter(Prefetcher(ds, depth=2, device_put_fn=jax.device_put))
+        batch = next(data_stream)
+    else:
+        batch = synthetic_batch(
+            0, batch_size=batch_size, shapes=cfg.shapes, tgt_len=cfg.model.decoder.tgt_len
+        )
     model = SINGA(cfg)
     optimizer = make_optimizer(cfg.train.optimizer)
 
@@ -260,6 +281,8 @@ def main():
         jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     for _ in range(iters):
+        if data_stream is not None:
+            batch = next(data_stream)
         params, opt_state, loss = compiled(params, opt_state, batch)
     final_loss = float(loss)  # value fetch forces completion
     dt = time.time() - t0
@@ -290,6 +313,7 @@ def main():
                 "tflops_per_step_impl": round(impl_flops / 1e12, 3),
                 "batch_size": batch_size,
                 "lmax": cfg.embedding.lmax,
+                "input_pipeline": "prefetcher" if data_stream is not None else "synthetic",
             }
         )
     )
