@@ -5,7 +5,7 @@ Prints ONE JSON line:
    "vs_baseline": N / 5000, "mfu": ..., "step_ms": ..., "tflops": ...}
 (North-star target: >= 5000 graphs/sec/chip, /root/repo/BASELINE.json.)
 
-Usage: python bench.py [batch_size] [--profile DIR]
+Usage: python bench.py [batch_size] [--profile DIR] [--data DIR / --synthetic]
   --profile writes a jax.profiler trace for the timed steps to DIR.
 """
 from __future__ import annotations
@@ -124,21 +124,45 @@ def main():
         micro = min(batch_size, int(sys.argv[sys.argv.index("--accum") + 1]))
     n_micro = batch_size // micro
     assert batch_size % micro == 0
-    # --data <dir>: time the REAL input pipeline (npz load + collate +
-    # Prefetcher + device_put) instead of a resident synthetic batch — the
-    # round-3 verdict's "measured through the Prefetcher" criterion. The
-    # timed loop below pulls a fresh batch from the prefetch queue every
-    # step, so any host-pipeline stall shows up in graphs/s.
+    # The official bench exercises the REAL input pipeline (npz load +
+    # collate + Prefetcher + device_put) whenever a corpus is available
+    # (VERDICT r4 #9): `--data <dir>` names one explicitly, otherwise
+    # data/corpus next to this script is used when present. `--synthetic`
+    # forces the resident-synthetic-batch variant. The timed loop below
+    # pulls a fresh batch from the prefetch queue every step, so any
+    # host-pipeline stall shows up in graphs/s.
     data_stream = None
+    root = None
     if "--data" in sys.argv:
+        root = sys.argv[sys.argv.index("--data") + 1]
+    elif "--synthetic" not in sys.argv:
+        default_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "corpus")
+        if os.path.isdir(os.path.join(default_root, "train")):
+            root = default_root
+    if root is not None:
         from singa_tpu.data.dataset import NpzDataset
         from singa_tpu.data.pipeline import Prefetcher
 
-        root = sys.argv[sys.argv.index("--data") + 1]
         train_dir = os.path.join(root, "train")
         if not os.path.isdir(train_dir):
             train_dir = root
         ds = NpzDataset(train_dir, batch_size)
+        # The AOT-compiled step below supports exactly one padding bucket per
+        # run: every file must share one shape signature. A mixed-bucket dir
+        # (tools/make_dataset.py --bucket output) would otherwise die in
+        # np.stack / at the compiled() call with an opaque shape error.
+        sigs = {}
+        for path in ds.files:
+            with np.load(path) as z:
+                sigs.setdefault((z["protein.x"].shape[0], z["pp.index"].shape[0]), path)
+        if len(sigs) > 1:
+            raise SystemExit(
+                f"bench.py --data: {train_dir} holds {len(sigs)} padding buckets "
+                f"{sorted(sigs)}; the AOT-compiled bench step supports one bucket "
+                "per run — point --data at a single-bucket directory (e.g. one "
+                "bucket subdir), or use --synthetic. Mixed-bucket training goes "
+                "through singa_tpu.train.loop (BucketedNpzDataset)."
+            )
         data_stream = iter(Prefetcher(ds, depth=2, device_put_fn=jax.device_put))
         batch = next(data_stream)
     else:
@@ -202,8 +226,17 @@ def main():
     G = 2 * (lm + 1) * (2 * lm + 3)  # full-res S2 grid (14x15 @ lmax 6)
     H = e.ffn_hidden_channels
     C = e.sphere_channels
-    n_nodes = batch_size * (cfg.shapes.num_protein_nodes + cfg.shapes.num_ligand_nodes)
-    n_edges = batch_size * (cfg.shapes.num_pp_edges + cfg.shapes.num_ll_edges)
+    # Shape terms come from the LOADED batch, not cfg.shapes: with --data the
+    # npz shards define the padding bucket (e.g. a 576-protein-node bucket
+    # would silently misreport MFU if cfg defaults were used here).
+    bNp = int(batch.protein.x.shape[1])
+    bNl = int(batch.ligand.x.shape[1])
+    bEpp = int(batch.pp.index.shape[1])
+    bEll = int(batch.ll.index.shape[1])
+    bElp = int(batch.lp.index.shape[1])
+    bEpl = int(batch.pl.index.shape[1])
+    n_nodes = batch_size * (bNp + bNl)
+    n_edges = batch_size * (bEpp + bEll)
     calls = 2 * e.num_layers  # passes x blocks
     # fused FFN (ops/pallas/so3_ffn.py): fwd kernel + bwd kernel (bwd
     # recomputes the forward in VMEM then runs the two transposed passes: 3x)
@@ -227,7 +260,7 @@ def main():
     # edge MLPs + scores/aggregation; impl adds the one-hot gather/scatter
     # matmuls (the dominant term: 2 gathers fwd, recompute + 2 scatters bwd)
     enc = cfg.model.encoder
-    B, Np = batch_size, cfg.shapes.num_protein_nodes
+    B, Np = batch_size, bNp
     K_nb = 2 * enc.knn
     De = enc.edge_channels
     kd = enc.key_channels // enc.num_heads
@@ -259,9 +292,9 @@ def main():
     # tools/parse_profile.py einsum totals at the round-3 operating point.
     eo_flops = 0.0
     if not os.environ.get("SINGA_TPU_EDGE_TABLE"):
-        n_c = cfg.shapes.num_protein_nodes + cfg.shapes.num_ligand_nodes
-        e_intra = cfg.shapes.num_pp_edges + cfg.shapes.num_ll_edges
-        e_inter = cfg.shapes.num_lp_edges + cfg.shapes.num_pl_edges
+        n_c = bNp + bNl
+        e_intra = bEpp + bEll
+        e_inter = bElp + bEpl
         sites = 2 * (3 * e.num_layers + 1)  # fwd+bwd per site
         for e_cnt in (e_intra, e_inter):
             eo_flops += sites * 2 * batch_size * e_cnt * n_c * I_c * C

@@ -191,10 +191,19 @@ class GANTrainer:
         graph_loss: str = "bce",  # 'bce' | 'wgan-gp'
         gp_weight: float = 10.0,
         grammar_mask: bool = False,
+        d_label_smooth: float = 0.9,
     ):
         self.config = config
         self.model = SINGA(config)
         self.disc = SeqDiscriminator(vocab_size=config.model.decoder.vocab_size)
+        # one-sided label smoothing on the real targets: a standard
+        # saturation counter — D can never reach zero loss, so its sigmoid
+        # stays off the rails and gradient keeps flowing to G (round-4
+        # trajectory hit d_acc=1.0 / d_loss=0.004 by round 60)
+        self.d_label_smooth = d_label_smooth
+        # last measured D accuracies, for the train_round d_acc_cap guard
+        self._last_d_acc: float | None = None
+        self._last_gd_acc: float | None = None
         self.g_optimizer = optax.adam(g_lr)
         self.d_optimizer = optax.adam(d_lr)
         self.use_graph_disc = use_graph_disc
@@ -272,7 +281,8 @@ class GANTrainer:
             fake_logit = disc.apply(d_params, fake_tokens)
             loss = jnp.mean(
                 optax.sigmoid_binary_cross_entropy(
-                    real_logit, jnp.ones_like(real_logit)
+                    real_logit,
+                    jnp.full_like(real_logit, self.d_label_smooth),
                 )
             ) + jnp.mean(
                 optax.sigmoid_binary_cross_entropy(
@@ -391,9 +401,17 @@ class GANTrainer:
                 pct_valid,
             )
 
+        def d_eval(d_params, batch: ComplexBatch, fake_tokens):
+            return d_loss_fn(d_params, batch.tokens.target, fake_tokens)
+
+        def gd_eval(gd_params, batch: ComplexBatch, fake, key):
+            return gd_loss_fn(gd_params, self._real_graph(batch), fake, key)
+
         self.sample = jax.jit(sample)
         self.d_step = jax.jit(d_step)
+        self.d_eval = jax.jit(d_eval)
         self.gd_step = jax.jit(gd_step) if self.use_graph_disc else None
+        self.gd_eval = jax.jit(gd_eval) if self.use_graph_disc else None
         self.g_step = jax.jit(g_step)
 
     def _host_bridge(self, tokens):
@@ -407,25 +425,50 @@ class GANTrainer:
         fake = self._graphs_host(tokens_np) if self.use_graph_disc else None
         return chem_r, fake
 
-    def train_round(self, state: GANState, batch: ComplexBatch, key, d_steps=1, g_steps=1):
+    def train_round(self, state: GANState, batch: ComplexBatch, key, d_steps=1,
+                    g_steps=1, d_acc_cap: float = 1.0):
         """One adversarial round: sample -> host chemistry -> D/graph-D/G.
 
         The same sampled batch feeds the discriminator updates and the first
         generator update (on-policy: g_params are unchanged until g_step);
-        additional g_steps resample."""
+        additional g_steps resample.
+
+        ``d_acc_cap`` < 1 pauses a discriminator's updates while its last
+        measured accuracy exceeds the cap (the standard saturation counter:
+        a perfect D gives G a vanishing sigmoid reward gradient) — its
+        loss/acc are still evaluated and logged every round, so the pause
+        releases as soon as G catches up."""
         metrics = {}
         key, sub = jax.random.split(key)
         tokens = self.sample(state.g_params, batch, sub)
         chem_r, fake = self._host_bridge(tokens)
+        pause_d = self._last_d_acc is not None and self._last_d_acc > d_acc_cap
+        pause_gd = self._last_gd_acc is not None and self._last_gd_acc > d_acc_cap
         for i in range(d_steps):
-            state, d_loss, d_acc = self.d_step(state, batch, tokens)
+            if pause_d:
+                d_loss, d_acc = self.d_eval(state.d_params, batch, tokens)
+            else:
+                state, d_loss, d_acc = self.d_step(state, batch, tokens)
             metrics["gan/d_loss"] = float(d_loss)
             metrics["gan/d_acc"] = float(d_acc)
+            metrics["gan/d_paused"] = float(pause_d)
             if self.gd_step is not None:
                 key, sub = jax.random.split(key)
-                state, gd_loss, gd_acc = self.gd_step(state, batch, fake, sub)
+                if pause_gd:
+                    gd_loss, gd_acc = self.gd_eval(state.gd_params, batch, fake, sub)
+                else:
+                    state, gd_loss, gd_acc = self.gd_step(state, batch, fake, sub)
                 metrics["gan/gd_loss"] = float(gd_loss)
                 metrics["gan/gd_acc"] = float(gd_acc)
+                metrics["gan/gd_paused"] = float(pause_gd)
+                self._last_gd_acc = float(gd_acc)
+            self._last_d_acc = float(d_acc)
+            pause_d = d_acc_cap < 1.0 and self._last_d_acc > d_acc_cap
+            pause_gd = (
+                d_acc_cap < 1.0
+                and self._last_gd_acc is not None
+                and self._last_gd_acc > d_acc_cap
+            )
             if i + 1 < d_steps:  # fresh negatives for the next D update
                 key, sub = jax.random.split(key)
                 tokens = self.sample(state.g_params, batch, sub)
@@ -483,6 +526,21 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--graph-loss", type=str, default="bce", choices=["bce", "wgan-gp"])
     ap.add_argument("--no-graph-disc", action="store_true")
+    ap.add_argument(
+        "--d-acc-cap", type=float, default=0.95,
+        help="pause discriminator updates while its accuracy exceeds this "
+        "(anti-saturation; 1.0 disables)",
+    )
+    ap.add_argument(
+        "--d-label-smooth", type=float, default=0.9,
+        help="one-sided label smoothing target for D's real examples",
+    )
+    ap.add_argument(
+        "--vina-eval", type=int, default=0,
+        help="at the final report, dock N sampled molecules into their "
+        "conditioning pockets (native engine) and log the vina < -7.5 "
+        "pass-rate",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--grammar-mask", action="store_true",
@@ -540,6 +598,7 @@ def main(argv=None):
         use_graph_disc=not args.no_graph_disc,
         graph_loss=args.graph_loss,
         grammar_mask=args.grammar_mask,
+        d_label_smooth=args.d_label_smooth,
     )
     state = trainer.init(jax.random.PRNGKey(args.seed + 1), g_params, batch)
     from singa_tpu.train.checkpointing import save_config
@@ -564,7 +623,8 @@ def main(argv=None):
     for r in range(1, args.rounds + 1):
         key, sub = jax.random.split(key)
         state, metrics = trainer.train_round(
-            state, next(it), sub, args.d_steps, args.g_steps
+            state, next(it), sub, args.d_steps, args.g_steps,
+            d_acc_cap=args.d_acc_cap,
         )
         if args.eval_every and (r == 1 or r % args.eval_every == 0):
             key, sub = jax.random.split(key)
@@ -577,8 +637,19 @@ def main(argv=None):
                 + " ".join(f"{k.split('/')[1]}={v:.3f}" for k, v in metrics.items())
                 + f" ({(time.time()-t0)/r:.1f}s/round)"
             )
-    # final sample quality report
+    # final sample quality report (+ optional vina conditioning pass-rate)
     stats = sample_quality(state.g_params, key)
+    if args.vina_eval:
+        from singa_tpu.train.rewards import vina_conditioning_host
+
+        enc, pad, prop = trainer._encode(state.g_params, batch)
+        key, sub = jax.random.split(key)
+        tokens, _ = sample_jit(state.g_params, enc, pad, prop, sub)
+        v = vina_conditioning_host(batch, np.asarray(tokens), n_eval=args.vina_eval)
+        if v is not None:
+            stats.update(v)
+        else:
+            print("vina conditioning eval skipped: native dock lib unavailable")
     print("sample stats:", stats)
     writer.write(args.rounds + 1, **{f"quality/{k}": v for k, v in stats.items()})
     writer.close()

@@ -95,8 +95,15 @@ def graph_batch_host(tokens: np.ndarray, n_max: int) -> tuple[np.ndarray, ...]:
 
 
 def validity_stats(tokens: np.ndarray) -> dict:
-    """%valid / %unique / property means over a decoded batch (host-side;
-    for generation benchmarks and GAN logging)."""
+    """%valid / %unique / property means / conditioning pass-rates over a
+    decoded batch (host-side; for generation benchmarks and GAN logging).
+
+    Conditioning success (``pct_qed_good`` / ``pct_sas_good`` / ``pct_cond``)
+    is the fraction of ALL generated molecules meeting the conditioning
+    thresholds the generator was asked for (qed > 0.6, sas < 4.0 — reference
+    model/GAN.py:38-40); invalid molecules count as failures, so the numbers
+    answer "how often did conditioning actually work", not "how good are the
+    survivors"."""
     mols = _parse_tokens(tokens)
     smiles = [decode(r) for r in np.asarray(tokens)]
     valid = [s for s, m in zip(smiles, mols) if m is not None and m.num_atoms >= 3]
@@ -106,7 +113,94 @@ def validity_stats(tokens: np.ndarray) -> dict:
         "pct_unique": 100.0 * len(set(valid)) / max(1, len(valid)) if valid else 0.0,
     }
     scored = [m for m in mols if m is not None and m.num_atoms >= 3]
+    n_all = max(1, len(smiles))
+    qed_ok = sas_ok = both_ok = 0
     if scored:
-        stats["qed_mean"] = float(np.mean([qed(m) for m in scored]))
-        stats["sas_mean"] = float(np.mean([sa_score(m) for m in scored]))
+        qs = [qed(m) for m in scored]
+        ss = [sa_score(m) for m in scored]
+        stats["qed_mean"] = float(np.mean(qs))
+        stats["sas_mean"] = float(np.mean(ss))
+        qed_ok = sum(q > QED_GOOD for q in qs)
+        sas_ok = sum(s < SAS_GOOD for s in ss)
+        both_ok = sum((q > QED_GOOD) and (s < SAS_GOOD) for q, s in zip(qs, ss))
+    stats["pct_qed_good"] = 100.0 * qed_ok / n_all
+    stats["pct_sas_good"] = 100.0 * sas_ok / n_all
+    stats["pct_cond"] = 100.0 * both_ok / n_all
     return stats
+
+
+def vina_conditioning_host(batch, tokens: np.ndarray, n_eval: int = 16,
+                           exhaustiveness: int = 2, seed: int = 0) -> dict | None:
+    """Dock up to ``n_eval`` generated molecules into their conditioning
+    pockets and report the vina < -7.5 pass-rate (the third conditioning
+    threshold, reference model/GAN.py:38).
+
+    Pockets are rebuilt from the batch itself: protein atoms + covalent pp
+    bonds of row b form the receptor Molecule; the dock box centers on that
+    row's real-ligand centroid. Generated SMILES get 3D coordinates from the
+    distance-geometry embedder, then a short native MC dock
+    (singa_tpu/dock). Invalid/unembeddable molecules count as failures.
+    Returns None when the native library is unavailable.
+    """
+    try:
+        from singa_tpu.chem.embed3d import embed_smiles
+        from singa_tpu.chem.mol import Molecule
+        from singa_tpu.dock.engine import dock
+    except Exception:
+        return None
+
+    VINA_GOOD = -7.5
+    tokens = np.asarray(tokens)[:n_eval]
+    prot_x = np.asarray(batch.protein.atomic_num)
+    prot_pos = np.asarray(batch.protein.pos)
+    prot_mask = np.asarray(batch.protein.mask)
+    pp_idx = np.asarray(batch.pp.index)
+    pp_mask = np.asarray(batch.pp.mask)
+    lig_pos = np.asarray(batch.ligand.pos)
+    lig_mask = np.asarray(batch.ligand.mask)
+
+    n_ok = n_scored = 0
+    scores = []
+    for b, row in enumerate(tokens):
+        try:
+            smi = decode(row)
+            if not smi:
+                continue
+            mol = embed_smiles(smi, seed=seed + b)
+            if mol.num_atoms < 4:
+                continue
+        except Exception:
+            continue
+        m = prot_mask[b]
+        n_p = int(m.sum())
+        if n_p < 10 or not lig_mask[b].any():
+            continue
+        # pocket Molecule: masked atoms + deduped covalent bonds
+        old2new = np.cumsum(m) - 1
+        eb = pp_idx[b][pp_mask[b]]
+        eb = eb[(eb[:, 0] < eb[:, 1]) & m[eb[:, 0]] & m[eb[:, 1]]]
+        pocket = Molecule(
+            atomic_num=prot_x[b][m],
+            pos=prot_pos[b][m],
+            bonds=old2new[eb],
+            bond_order=np.ones(len(eb), np.int64),
+            bond_aromatic=np.zeros(len(eb), bool),
+        )
+        center = lig_pos[b][lig_mask[b]].mean(axis=0).astype(np.float64)
+        mol.pos = (mol.pos - mol.pos.mean(axis=0)) + center.astype(np.float32)
+        try:
+            res = dock(pocket, mol, center=center, box_size=16.0,
+                       exhaustiveness=exhaustiveness, seed=seed + b, max_poses=1)
+        except Exception:
+            continue
+        if not res:
+            continue
+        n_scored += 1
+        scores.append(res[0].score)
+        n_ok += res[0].score < VINA_GOOD
+    n_all = max(1, len(tokens))
+    return {
+        "pct_vina_good": 100.0 * n_ok / n_all,
+        "n_vina_scored": n_scored,
+        "vina_mean": float(np.mean(scores)) if scores else float("nan"),
+    }

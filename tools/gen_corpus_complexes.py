@@ -38,6 +38,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from singa_tpu.chem.drug_corpus import CORPUS  # noqa: E402
 from singa_tpu.chem.embed3d import embed_smiles  # noqa: E402
+from singa_tpu.chem.ligand_expand import (  # noqa: E402
+    expand_corpus,
+    ligand_disjoint_split,
+)
 from singa_tpu.chem.pdb import PDBProtein  # noqa: E402
 from singa_tpu.chem.sdf import write_sdf  # noqa: E402
 
@@ -91,7 +95,18 @@ def main():
     ap.add_argument("--outdir", default="data/corpus_raw")
     ap.add_argument("--sites", type=int, default=8)
     ap.add_argument("--exhaustiveness", type=int, default=2)
-    ap.add_argument("--val-frac", type=float, default=0.1)
+    ap.add_argument(
+        "--val-frac", type=float, default=0.12,
+        help="fraction of base DRUG FAMILIES held out: every variant and "
+        "every site of a held-out drug goes to val (ligand-disjoint split, "
+        "VERDICT r4 #3; the round-4 per-complex split leaked all 51 val "
+        "ligands into train)",
+    )
+    ap.add_argument(
+        "--ligands", type=int, default=450,
+        help="expand the ~150-drug corpus to this many unique ligands by "
+        "substituent enumeration (chem/ligand_expand); 0 = base drugs only",
+    )
     ap.add_argument("--no-dock", action="store_true", help="skip pose refinement")
     args = ap.parse_args()
 
@@ -111,13 +126,24 @@ def main():
 
     pos_all = np.asarray([a.pos for a in prot.atoms], np.float64)
     index_lines = []
-    n_drugs = len(CORPUS)
+    if args.ligands:
+        ligands = expand_corpus(args.ligands, seed=7)
+    else:
+        ligands = [(n, s, n) for n, s in CORPUS]
+    split_map = ligand_disjoint_split(ligands, val_frac=args.val_frac, seed=7)
+    n_drugs = len(ligands)
+    print(
+        f"{n_drugs} unique ligands "
+        f"({sum(1 for _, _, b in ligands if split_map[b] == 'val')} in held-out "
+        f"families / {sum(1 for v in split_map.values() if v == 'val')} of "
+        f"{len(split_map)} base drugs -> val)"
+    )
     rng = np.random.default_rng(7)
     t0 = time.time()
     made = 0
     i = 0
     while made < args.count and i < args.count * 2:
-        name, smi = CORPUS[i % n_drugs]
+        name, smi, base_drug = ligands[i % n_drugs]
         site = sites[(i // n_drugs) % len(sites)]
         seed = i
         i += 1
@@ -155,7 +181,7 @@ def main():
             sdf_path = os.path.join(args.outdir, f"{tag}_ligand.sdf")
             with open(sdf_path, "w") as f:
                 f.write(write_sdf(mol, name=tag))
-            split = "val" if rng.random() < args.val_frac else "train"
+            split = split_map[base_drug]  # ligand-disjoint: whole drug families
             index_lines.append(f"{os.path.abspath(args.protein)} {os.path.abspath(sdf_path)} {split}")
             made += 1
             if made % 32 == 0:
