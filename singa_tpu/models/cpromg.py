@@ -274,10 +274,11 @@ class Encoder(nn.Module):
         x = Linear(self.cfg.hidden_channels, name="protein_atom_emb")(feat)
         x = x + Linear(self.cfg.hidden_channels, name="laplacian_emb")(lap_pe)
         if self.cfg.attn_form == "neighbor":
-            from singa_tpu.models.neighbor_graph import build_neighbor_graph
+            from singa_tpu.models.neighbor_graph import _dense_attn, build_neighbor_graph
 
             g = build_neighbor_graph(
-                pos, mask, self.cfg.knn, self.cfg.smear_stop, self.cfg.edge_channels
+                pos, mask, self.cfg.knn, self.cfg.smear_stop, self.cfg.edge_channels,
+                with_adj_dist=_dense_attn(),
             )
         else:
             from singa_tpu.models.dense_graph import build_dense_graph

@@ -41,6 +41,10 @@ class NeighborGraph(NamedTuple):
     deg_attr: jax.Array  # [B, N, De] Laplacian diagonal (degree) attr
     node_mask: jax.Array  # [B, N]
     neg_smear: jax.Array | None = None  # [B, N, K, De] shared across layers
+    # masked dense pair distances for the gather-free dense kernel
+    # (ops/pallas/dense_edge_attn.py): real distance where j is an
+    # in-neighbour of i, BIG elsewhere (incl. diagonal / invalid nodes)
+    adj_dist: jax.Array | None = None  # [B, N, N] f32
 
 
 def build_neighbor_graph(
@@ -50,6 +54,7 @@ def build_neighbor_graph(
     smear_stop: float,
     edge_channels: int,
     k_in: int | None = None,
+    with_adj_dist: bool = False,
 ) -> NeighborGraph:
     """Symmetrised threshold-kNN as per-node neighbour lists (no N x N attr)."""
     B, N, _ = pos.shape
@@ -81,6 +86,11 @@ def build_neighbor_graph(
         compute_dtype()
     )
     deg = -(neg_smear * nbr_mask[..., None]).sum(axis=2)
+    adj_dist = None
+    if with_adj_dist:
+        from singa_tpu.ops.pallas.dense_edge_attn import BIG
+
+        adj_dist = jnp.where(adj, dist_full, jnp.asarray(BIG, dist_full.dtype))
     return NeighborGraph(
         nbr=nbr,
         nbr_mask=nbr_mask,
@@ -88,6 +98,7 @@ def build_neighbor_graph(
         deg_attr=deg,
         node_mask=mask,
         neg_smear=neg_smear,
+        adj_dist=adj_dist,
     )
 
 
@@ -96,6 +107,15 @@ def _force_fused_attn() -> bool:
     import os
 
     return bool(os.environ.get("SINGA_TPU_FORCE_FUSED_ATTN"))
+
+
+def _dense_attn() -> bool:
+    """Select the gather-free dense kernel (ops/pallas/dense_edge_attn.py)
+    over the one-hot fused form; SINGA_TPU_DENSE_ATTN=0 restores the
+    one-hot kernel. Default OFF until the hardware A/B lands."""
+    import os
+
+    return os.environ.get("SINGA_TPU_DENSE_ATTN", "0") not in ("0", "")
 
 
 def _hybrid_attn() -> bool:
@@ -157,7 +177,41 @@ class NeighborGraphMHA(nn.Module):
 
         from singa_tpu.equivariant.layers import _use_pallas
 
-        if _use_pallas() or _force_fused_attn():
+        if g.adj_dist is not None and (_use_pallas() or _force_fused_attn()):
+            # gather-free dense kernel (round 5): the kNN mask + distances
+            # ride one [B, N, N] tensor; no one-hot gathers anywhere and the
+            # backward dk/dv are plain reductions (ops/pallas/dense_edge_attn)
+            from singa_tpu.ops.pallas.dense_edge_attn import dense_edge_attn
+
+            p = self.variables["params"]
+            ek = p["weight_k_net"]
+            ev = p["weight_v_net"]
+            width = self.smear_stop / (self.edge_channels - 1)
+            coeff = -0.5 / (width * width)
+            centers = jnp.linspace(
+                0.0, self.smear_stop, self.edge_channels, dtype=jnp.float32
+            )
+            diag_value = (w_v_diag[:, :, None, :] * v).reshape(B, N, H * vd)
+            agg = dense_edge_attn(
+                q_tilde.reshape(B, N, H * kd),
+                k.reshape(B, N, H * kd),
+                v.reshape(B, N, H * vd),
+                g.adj_dist.astype(jnp.float32),
+                s_diag,
+                diag_value,
+                centers,
+                ek["Linear_0"]["Dense_0"]["kernel"],
+                ek["Linear_0"]["Dense_0"]["bias"],
+                ek["Linear_1"]["Dense_0"]["kernel"],
+                ek["Linear_1"]["Dense_0"]["bias"],
+                ev["Linear_0"]["Dense_0"]["kernel"],
+                ev["Linear_0"]["Dense_0"]["bias"],
+                ev["Linear_1"]["Dense_0"]["kernel"],
+                ev["Linear_1"]["Dense_0"]["bias"],
+                float(coeff),
+                jax.default_backend() != "tpu",
+            ).reshape(B, N, H, vd)
+        elif _use_pallas() or _force_fused_attn():
             # fused kernel: smear + both EdgeMLPs + one-hot gathers + softmax
             # + aggregate in VMEM (ops/pallas/neighbor_attn.py); hybrid form
             # moves the gathers to XLA DMA outside the kernel
