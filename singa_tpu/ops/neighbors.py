@@ -148,11 +148,14 @@ def _use_onehot(n: Optional[int] = None) -> bool:
     one-hot; batching per graph removes both.) But the one-hot FLOPs grow
     O(E*N) — linear in node count per op — while the table engine is
     ~O(E + N*K): past a crossover node count the "free" MXU FLOPs stop
-    being free (SURVEY §5.7's scaling axis). The default threshold comes
-    from the measured crossover on this chip (tools/bench_edge_engines.py
-    --nodes sweep, DESIGN.md round-4): one-hot still wins at 1536 nodes,
-    so the default is set above every shipped bucket and the table engine
-    is reachable via env for larger future buckets.
+    being free (SURVEY §5.7's scaling axis). Crossover evidence (round 5,
+    DESIGN.md "Edge-engine microbench corrected"): the standalone
+    microbench (tools/bench_edge_engines.py) proved unrepresentative —
+    identical 22-GFLOP one-hot contractions cost 46.7 ms standalone vs
+    0.73 ms/site inside the jitted step — so the decision experiment is
+    END-TO-END: `SINGA_TPU_EDGE_TABLE=1 bench.py 32` vs default, recorded
+    in that DESIGN section. The default threshold keeps one-hot for every
+    shipped bucket; the table engine is reachable via env.
 
     Env overrides (A/B + forcing): ``SINGA_TPU_EDGE_TABLE=1`` forces the
     table engine everywhere; ``SINGA_TPU_EDGE_ONEHOT=1`` forces one-hot;

@@ -53,8 +53,14 @@ def main():
     mask = np.ones((B, E), bool)
 
     # --- engine A: one-hot matmuls ---
-    src_oh = jnp.asarray(np.eye(N, dtype=np.float32)[src])  # [B,E,N]
-    dst_oh = jnp.asarray(np.eye(N, dtype=np.float32)[dst_np])
+    # The one-hot is GENERATED IN-FUSION from an iota-compare, exactly as
+    # ops/neighbors.py does — a pre-materialized [B, E, N] one-hot read
+    # from HBM benchmarks a different (memory-bound) program and measured
+    # 47.7 ms where the in-fusion form costs ~1 ms (round-5 correction;
+    # the round-4 numbers cited in ops/neighbors.py came from this file's
+    # earlier materialized form).
+    src_j = jnp.asarray(src)  # [B, E] int32
+    dst_j = jnp.asarray(dst_np)
 
     x = jnp.asarray(rng.normal(size=(B * N, F)).astype(np.float32)).astype(jnp.bfloat16)
     m = jnp.asarray(rng.normal(size=(B * E, F)).astype(np.float32)).astype(jnp.bfloat16)
@@ -62,13 +68,15 @@ def main():
     @jax.jit
     def oh_gather(x):
         xf = x.reshape(B, N, F)
-        return jnp.einsum("ben,bnf->bef", src_oh.astype(x.dtype), xf).reshape(B * E, F)
+        oh = (src_j[..., None] == jnp.arange(N, dtype=src_j.dtype)).astype(x.dtype)
+        return jnp.einsum("ben,bnf->bef", oh, xf).reshape(B * E, F)
 
     @jax.jit
     def oh_scatter(m):
         mf = m.reshape(B, E, F)
+        oh = (dst_j[..., None] == jnp.arange(N, dtype=dst_j.dtype)).astype(m.dtype)
         return jnp.einsum(
-            "ben,bef->bnf", dst_oh.astype(m.dtype), mf,
+            "ben,bef->bnf", oh, mf,
             preferred_element_type=jnp.float32,
         ).astype(m.dtype).reshape(B * N, F)
 
@@ -110,8 +118,9 @@ def main():
         l2 = lg.reshape(B, E, H)
         gmax = jnp.max(jnp.where(maskj[..., None], l2, -1e30), axis=1, keepdims=True)
         e = jnp.exp(l2 - gmax) * maskj[..., None]
-        denom = jnp.einsum("ben,beh->bnh", dst_oh, e)
-        denom_e = jnp.einsum("ben,bnh->beh", dst_oh, denom)
+        oh = (dst_j[..., None] == jnp.arange(N, dtype=dst_j.dtype)).astype(e.dtype)
+        denom = jnp.einsum("ben,beh->bnh", oh, e)
+        denom_e = jnp.einsum("ben,bnh->beh", oh, denom)
         return (e / jnp.maximum(denom_e, 1e-16)).reshape(B * E, H)
 
     @jax.jit
