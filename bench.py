@@ -10,6 +10,7 @@ Usage: python bench.py [batch_size] [--profile DIR] [--data DIR / --synthetic]
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -179,7 +180,10 @@ def main():
     print(f"init {time.time()-t0:.1f}s params {n_params/1e6:.2f}M", file=sys.stderr)
     opt_state = optimizer.init(params)
 
-    @jax.jit
+    # donate params/opt_state: without donation XLA keeps the old and new
+    # parameter trees live across the update (extra HBM + copy traffic);
+    # train/loop.py:154 already donates — keep the bench step identical
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
         def loss_fn(p, mb):
             return cross_entropy_loss(model.apply(p, mb), mb.tokens.target)

@@ -49,6 +49,35 @@ def shard_batch(batch: Any, mesh: Mesh, data_axis: str = "data") -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_batch_multihost(batch: Any, mesh: Mesh, data_axis: str = "data") -> Any:
+    """Per-host input pipeline -> global sharded arrays (SURVEY §2.9 DP row).
+
+    Each host loads ONLY its own slice of the global batch (its Prefetcher
+    yields ``global_batch / process_count`` examples) and this assembles the
+    global jax.Arrays without any cross-host data movement:
+    ``jax.make_array_from_process_local_data`` builds an array whose global
+    batch dim is the concatenation of every host's local shard, placed on
+    that host's devices. With one process this reduces exactly to
+    ``shard_batch`` (pinned by tests/test_parallel.py).
+
+    The reference has no distributed input path at all (single-GPU PyG
+    DataLoader, /root/reference/utils/Data.py:234-253); this is the
+    TPU-native equivalent of a per-host DataLoader + DistributedSampler.
+    """
+    n_proc = jax.process_count()
+    n = mesh.shape[data_axis]
+
+    def put(x):
+        if x.ndim >= 1 and (x.shape[0] * n_proc) % n == 0 and n > 1:
+            spec = P(data_axis, *([None] * (x.ndim - 1)))
+            sharding = NamedSharding(mesh, spec)
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        # small/debug arrays: replicate (every host must hold the same value)
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 # Parameter tensor-parallel rules: path-regex -> PartitionSpec factory.
 # Large CProMG kernels AND the equivariant stack are sharded over the model
 # axis; everything else is replicated. Column-parallel on the output dim for

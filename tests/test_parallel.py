@@ -88,3 +88,31 @@ def test_data_parallel_grad_matches_single_device():
     l1 = jax.tree_util.tree_leaves(g_single)[0]
     l2 = jax.tree_util.tree_leaves(g_mesh)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_shard_batch_multihost_single_process_equals_shard_batch():
+    """With one process, the per-host input path must produce arrays with
+    the SAME sharding and values as shard_batch (SURVEY 2.9 DP input row)."""
+    from singa_tpu.parallel.mesh import shard_batch_multihost
+
+    mesh = make_mesh(ParallelConfig(num_data=4, num_model=2))
+    cfg = tiny_config()
+    batch = synthetic_batch(0, batch_size=8, shapes=cfg.shapes, tgt_len=TGT_LEN)
+    a = shard_batch(batch, mesh)
+    b = shard_batch_multihost(batch, mesh)
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        assert x.sharding.is_equivalent_to(y.sharding, x.ndim), (x.sharding, y.sharding)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_shard_batch_multihost_replicates_indivisible():
+    from singa_tpu.parallel.mesh import shard_batch_multihost
+
+    mesh = make_mesh(ParallelConfig(num_data=4, num_model=2))
+    tree = {"a": jnp.ones((6, 3)), "s": jnp.ones(())}  # 6 % 4 != 0
+    out = shard_batch_multihost(tree, mesh)
+    assert out["a"].sharding.is_fully_replicated
+    assert out["s"].sharding.is_fully_replicated
