@@ -219,6 +219,10 @@ class GANTrainer:
         # see module docstring)
         if extra_reward_fn == "chem":
             extra_reward_fn = chem_reward_host
+        elif extra_reward_fn == "chem-shaped":
+            from singa_tpu.train.rewards import chem_reward_host_shaped
+
+            extra_reward_fn = chem_reward_host_shaped
         self.extra_reward_fn = extra_reward_fn
         self.temperature = temperature
         # SMILES grammar/valence masking during REINFORCE sampling
@@ -546,6 +550,11 @@ def main(argv=None):
         "--grammar-mask", action="store_true",
         help="mask REINFORCE sampling with the SMILES grammar/valence mask",
     )
+    ap.add_argument(
+        "--shaped-reward", action="store_true",
+        help="dense-gradient chemistry reward (monotone in QED/SA below the "
+        "conditioning thresholds) instead of the pure threshold form",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else Config()
@@ -599,6 +608,7 @@ def main(argv=None):
         graph_loss=args.graph_loss,
         grammar_mask=args.grammar_mask,
         d_label_smooth=args.d_label_smooth,
+        extra_reward_fn="chem-shaped" if args.shaped_reward else "chem",
     )
     state = trainer.init(jax.random.PRNGKey(args.seed + 1), g_params, batch)
     from singa_tpu.train.checkpointing import save_config
@@ -653,6 +663,19 @@ def main(argv=None):
     print("sample stats:", stats)
     writer.write(args.rounds + 1, **{f"quality/{k}": v for k, v in stats.items()})
     writer.close()
+    # save the adversarially-finetuned generator so generation CLIs can
+    # restore it (tools/bench_generate --ckpt <logdir>, the configs[4]
+    # 10k sweep; round-4 only ever restored INTO the GAN, never out of it)
+    from singa_tpu.train.checkpointing import CheckpointManager
+    from singa_tpu.train.optim import make_optimizer
+
+    # opt_state saved in the TRAIN optimizer's shape so the standard restore
+    # template (bench_generate --ckpt, gan --init-ckpt) round-trips
+    opt_like = make_optimizer(cfg.train.optimizer).init(state.g_params)
+    mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"))
+    mgr.save(args.rounds, state.g_params, opt_like)
+    mgr.close()
+    print(f"saved generator -> {args.logdir}/checkpoints @ round {args.rounds}")
 
 
 if __name__ == "__main__":
