@@ -126,7 +126,8 @@ def main():
             file=sys.stderr,
         )
 
-    enc, pad = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))(params, batch)
+    encode = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))
+    enc, pad = encode(params, batch)
     prop = jnp.ones((B, 3), jnp.float32)
 
     # params/enc ride as jit ARGUMENTS — the old closure form serialized the
@@ -146,7 +147,6 @@ def main():
             allow_dot=False,
         )
     )
-    encode = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))
 
     t0 = time.time()
     tokens, scores = run(params, enc, pad, prop)
@@ -157,7 +157,10 @@ def main():
     t0 = time.time()
     for _ in range(iters):
         tokens, scores = run(params, enc, pad, prop)
-    jax.block_until_ready(tokens)
+    # force a value fetch: bare block_until_ready under-reports on the axon
+    # backend (DESIGN.md measurement hygiene; the round-5 sweep printed a
+    # nonsense 62k mol/s from the old sync)
+    _ = int(np.asarray(tokens).sum())
     dt = (time.time() - t0) / iters
     mps = B * a.topk / dt
     print(f"{dt*1000:.0f} ms/batch ({mps:.2f} molecules/s, beam {beams})", file=sys.stderr)
