@@ -57,6 +57,14 @@ def main():
     ap.add_argument("--csv", type=str, default=None,
                     help="write per-molecule smiles/valid/qed/sa/filter rows")
     ap.add_argument("--topk", type=int, default=1, help="beams kept per pocket")
+    ap.add_argument(
+        "--sample", action="store_true",
+        help="categorical sampling (temperature 1) instead of beam search — "
+        "the decode mode the GAN loop trains under; deterministic beam "
+        "collapses to near-identical outputs on partially-memorized models "
+        "(round-5 sweep: 0.1% unique under beam)",
+    )
+    ap.add_argument("--temperature", type=float, default=1.0)
     a = ap.parse_args()
     B, beams, pretrain, mask = a.batch_size, a.num_beams, a.pretrain, not a.no_mask
     from singa_tpu.config import load_config
@@ -128,25 +136,53 @@ def main():
 
     encode = jax.jit(lambda p, b: model.apply(p, b, method="encode_pocket"))
     enc, pad = encode(params, batch)
-    prop = jnp.ones((B, 3), jnp.float32)
+    # conditioning: with REAL pockets use each complex's OWN binarized
+    # labels — the decoder was trained conditioned on them, and off-label
+    # conditioning derails free-running decode (round-3 7cff ablation; the
+    # round-5 sweep first measured 0.05% unique from the all-ones vector)
+    from singa_tpu.models.singa import binarize_props
+
+    def prop_of(b):
+        if a.data:
+            return binarize_props(b, cfg.model.props)
+        return jnp.ones((B, len(cfg.model.props)), jnp.float32)
+
+    prop = prop_of(batch)
 
     # params/enc ride as jit ARGUMENTS — the old closure form serialized the
     # weight pytree into the program (~103 MB HLO -> 25+ min remote compiles
     # and HTTP 413 on axon; see generate/beam.py beam_generate docstring)
     import functools
 
-    run = jax.jit(
-        functools.partial(
-            beam_generate,
-            model,
-            num_beams=beams,
-            max_length=cfg.generate.max_length,
-            length_penalty=cfg.generate.length_penalty,
-            topk=a.topk,
-            grammar_mask=mask,
-            allow_dot=False,
+    if a.sample:
+        from singa_tpu.train.gan import sample_sequences
+
+        def _sample(params, enc, pad, prop, key):
+            toks, _ = sample_sequences(
+                model, params, enc, pad, prop, key,
+                cfg.generate.max_length, a.temperature, grammar_mask=mask,
+            )
+            return toks[:, None, :], jnp.zeros((toks.shape[0], 1))
+
+        sample_jit = jax.jit(_sample)
+        _key = [jax.random.PRNGKey(17)]
+
+        def run(params, enc, pad, prop):
+            _key[0], sub = jax.random.split(_key[0])
+            return sample_jit(params, enc, pad, prop, sub)
+    else:
+        run = jax.jit(
+            functools.partial(
+                beam_generate,
+                model,
+                num_beams=beams,
+                max_length=cfg.generate.max_length,
+                length_penalty=cfg.generate.length_penalty,
+                topk=a.topk,
+                grammar_mask=mask,
+                allow_dot=False,
+            )
         )
-    )
 
     t0 = time.time()
     tokens, scores = run(params, enc, pad, prop)
@@ -187,7 +223,7 @@ def main():
                     tgt_len=cfg.model.decoder.tgt_len,
                 )
             e_i, pad_i = encode(params, b)
-            tk, _ = run(params, e_i, pad_i, prop)
+            tk, _ = run(params, e_i, pad_i, prop_of(b))
             all_tokens.append(np.asarray(tk))
             if (bi + 1) % 20 == 0:
                 done = (bi + 2) * per_batch
